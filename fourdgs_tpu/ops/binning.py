@@ -1,0 +1,103 @@
+"""Tile binning: duplicate Gaussians per overlapped tile, sort, compute ranges.
+
+TPU-native equivalent of the CUDA binning stage (reference
+rasterizer_impl.cu:33-138, 276-319: InclusiveSum → duplicateWithKeys →
+RadixSort → identifyTileRanges). Differences by design:
+
+- **Fixed shapes.** CUDA reads back the data-dependent ``num_rendered`` to size
+  its key buffers (rasterizer_impl.cu:281-286) — a host sync and a dynamic
+  allocation. Here the instance list has a static budget ``K`` (padded with
+  sentinel keys); overflow is reported so the driver can grow the budget and
+  recompile between steps, never inside one.
+- **No 64-bit key packing.** ``jax.lax.sort`` sorts lexicographically on
+  (tile_id, depth, instance-order) operand triples — same order as the CUDA
+  radix sort on [tile<<32 | depth-bits] keys for positive depths, and stable
+  on ties like CUB.
+- The per-instance "which Gaussian does slot k belong to" inversion is a
+  ``searchsorted`` over the tiles_touched prefix sum — the classic vectorized
+  inverse of the CUDA thread-per-Gaussian duplication loop.
+
+Everything here is integer bookkeeping — non-differentiable by construction;
+gradients flow through the gathered per-instance payloads instead (see
+fourdgs_tpu.ops.rasterize).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BinningOut(NamedTuple):
+    gauss_id: jnp.ndarray     # [K] int32 Gaussian index per sorted instance
+    tile_id: jnp.ndarray      # [K] int32 sorted tile id (= sentinel for padding)
+    tile_start: jnp.ndarray   # [T] int32 first instance index of each tile
+    tile_stop: jnp.ndarray    # [T] int32 one-past-last instance index
+    num_rendered: jnp.ndarray # [] int32 true instance count (may exceed K!)
+    valid: jnp.ndarray        # [K] bool instance is real (not padding/overflow)
+
+
+def bin_gaussians(
+    tile_min: jnp.ndarray,       # [P,2] int32 inclusive rect min (x,y)
+    tile_max: jnp.ndarray,       # [P,2] int32 exclusive rect max
+    tiles_touched: jnp.ndarray,  # [P] int32
+    depths: jnp.ndarray,         # [P] f32 view-space z (sort key)
+    grid_x: int,
+    grid_y: int,
+    budget: int,
+) -> BinningOut:
+    """Build the depth-sorted per-tile instance list with a static budget.
+
+    Instances beyond ``budget`` are dropped (check ``num_rendered`` against
+    ``budget`` to detect). Padding instances carry tile_id == grid_x*grid_y
+    (one past the last real tile) so they sort to the end and fall outside
+    every tile's [start, stop) range.
+    """
+    P = tiles_touched.shape[0]
+    T = grid_x * grid_y
+    sentinel_tile = jnp.int32(T)
+
+    depths = jax.lax.stop_gradient(depths)
+    offsets = jnp.cumsum(tiles_touched)            # inclusive prefix sum
+    num_rendered = offsets[-1] if P > 0 else jnp.int32(0)
+    starts = offsets - tiles_touched               # exclusive prefix sum
+
+    k = jnp.arange(budget, dtype=jnp.int32)
+    # slot k belongs to the Gaussian whose [start, offset) interval contains k
+    g = jnp.searchsorted(offsets, k, side="right").astype(jnp.int32)
+    in_range = k < num_rendered
+    g_safe = jnp.where(in_range, g, 0)
+
+    local = k - jnp.take(starts, g_safe)
+    tmin = jnp.take(tile_min, g_safe, axis=0)
+    tmax = jnp.take(tile_max, g_safe, axis=0)
+    rect_w = jnp.maximum(tmax[:, 0] - tmin[:, 0], 1)
+    # Row-major enumeration of the rect (y outer) matches duplicateWithKeys'
+    # double loop (rasterizer_impl.cu:84-101).
+    tx = tmin[:, 0] + local % rect_w
+    ty = tmin[:, 1] + local // rect_w
+    tile = ty * grid_x + tx
+
+    tile = jnp.where(in_range, tile, sentinel_tile).astype(jnp.int32)
+    depth_k = jnp.where(in_range, jnp.take(depths, g_safe), jnp.inf)
+
+    # Lexicographic (tile, depth, slot-order) sort — slot order preserves the
+    # duplication order so ties behave like CUB's stable radix sort.
+    tile_s, _, _, g_s, valid_s = jax.lax.sort(
+        (tile, depth_k.astype(jnp.float32), k, g_safe, in_range), num_keys=3
+    )
+
+    tile_ids = jnp.arange(T, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
+    tile_stop = jnp.searchsorted(tile_s, tile_ids, side="right").astype(jnp.int32)
+
+    return BinningOut(
+        gauss_id=g_s,
+        tile_id=tile_s,
+        tile_start=tile_start,
+        tile_stop=tile_stop,
+        num_rendered=num_rendered.astype(jnp.int32),
+        valid=valid_s,
+    )

@@ -1,0 +1,203 @@
+"""Per-Gaussian forward preprocess: project, EWA 2D covariance, conic, radius, color.
+
+TPU-native equivalent of the CUDA preprocess kernel
+(reference cuda_rasterizer/forward.cu:156-256 ``preprocessCUDA``): a fully
+vectorized, differentiable function over [P] Gaussians. XLA fuses this into a
+handful of elementwise VPU passes — no custom kernel needed. The backward pass
+is plain autodiff, which reproduces the reference's hand-written backward
+(backward.cu:20-396) because every clamp is expressed with
+``jnp.maximum/clip`` whose subgradients match the CUDA clamp-gating masks
+(e.g. x_grad_mul/y_grad_mul at backward.cu:175-176, SH clamp at
+backward.cu:127-133).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from fourdgs_tpu.ops import constants as C
+from fourdgs_tpu.utils import quaternion as quat
+from fourdgs_tpu.utils import sh as sh_lib
+
+
+class PreprocessOut(NamedTuple):
+    """Per-Gaussian screen-space quantities (all [P, ...])."""
+
+    means2d: jnp.ndarray      # [P,2] pixel-space centers (differentiable)
+    depths: jnp.ndarray       # [P] view-space z
+    conic: jnp.ndarray        # [P,3] inverse 2D covariance (a, b, c)
+    rgb: jnp.ndarray          # [P,3] view-dependent color (clamped >= 0)
+    radii: jnp.ndarray        # [P] int32 screen radius in pixels (0 = culled)
+    tile_min: jnp.ndarray     # [P,2] int32 inclusive tile rect min (x, y)
+    tile_max: jnp.ndarray     # [P,2] int32 exclusive tile rect max (x, y)
+    tiles_touched: jnp.ndarray  # [P] int32 number of tiles overlapped
+
+
+def project_points(means3d, world_view, full_proj):
+    """World → (view-space point, pixel-space NDC point w/o pixel scaling).
+
+    Returns p_view [P,3] and p_proj (NDC) [P,3]. Row-vector convention:
+    p_hom = [p,1] @ M (matches transformPoint4x3/4x4, auxiliary.h:83-104).
+    """
+    ones = jnp.ones_like(means3d[..., :1])
+    p_hom4 = jnp.concatenate([means3d, ones], axis=-1)
+    p_view = p_hom4 @ world_view[:3 + 1, :3]  # [P,3]
+    p_clip = p_hom4 @ full_proj               # [P,4]
+    p_w = 1.0 / (p_clip[..., 3:4] + C.W_EPS)  # forward.cu:199
+    p_proj = p_clip[..., :3] * p_w
+    return p_view, p_proj
+
+
+def compute_cov2d(p_view, cov3d, world_view, tanfovx, tanfovy, focal_x, focal_y):
+    """EWA splatting: 3D covariance → 2D screen covariance (forward.cu:74-113).
+
+    ``jnp.clip`` on the x/z, y/z ratios reproduces the reference's clamp
+    (forward.cu:84-87) and autodiff through it reproduces the clamp-gated
+    backward (backward.cu:175-176). Adds the +0.3 low-pass dilation.
+
+    Returns [P,3] packed (cov_xx, cov_xy, cov_yy).
+    """
+    tx, ty, tz = p_view[..., 0], p_view[..., 1], p_view[..., 2]
+    limx = C.EWA_CLAMP_FACTOR * tanfovx
+    limy = C.EWA_CLAMP_FACTOR * tanfovy
+    tx = jnp.clip(tx / tz, -limx, limx) * tz
+    ty = jnp.clip(ty / tz, -limy, limy) * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J: 2x3 Jacobian of the perspective projection at the (clamped) point.
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z2
+
+    # R_w2c: world→view rotation. world_view is transposed (row-vector), so
+    # the actual rotation matrix is its upper-left block transposed.
+    R = world_view[:3, :3].T  # [3,3]
+
+    # M = J @ R : [P, 2, 3]
+    m0 = j00[..., None] * R[0] + j02[..., None] * R[2]  # [P,3]
+    m1 = j11[..., None] * R[1] + j12[..., None] * R[2]  # [P,3]
+
+    # cov2d = M @ Σ @ Mᵀ, Σ = cov3d [P,3,3]
+    s0 = jnp.einsum("pi,pij->pj", m0, cov3d)
+    s1 = jnp.einsum("pi,pij->pj", m1, cov3d)
+    c_xx = jnp.einsum("pj,pj->p", s0, m0) + C.COV2D_DILATION
+    c_xy = jnp.einsum("pj,pj->p", s0, m1)
+    c_yy = jnp.einsum("pj,pj->p", s1, m1) + C.COV2D_DILATION
+    return jnp.stack([c_xx, c_xy, c_yy], axis=-1)
+
+
+def preprocess(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    shs: jnp.ndarray,
+    camera_center: jnp.ndarray,
+    world_view: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    tanfovx,
+    tanfovy,
+    width: int,
+    height: int,
+    sh_degree: int,
+    scale_modifier: float = 1.0,
+    cov3d_precomp: jnp.ndarray | None = None,
+    colors_precomp: jnp.ndarray | None = None,
+) -> PreprocessOut:
+    """Vectorized forward preprocess over all P Gaussians.
+
+    Equivalent of preprocessCUDA (forward.cu:156-256): frustum cull, project,
+    3D→2D covariance, conic inversion, screen radius + tile rect, SH→RGB.
+
+    ``width``/``height`` must be static Python ints (they fix tile-grid
+    shapes); matrices/fov are traced arrays so one compiled program serves all
+    cameras of a given resolution.
+    """
+    focal_y = height / (2.0 * tanfovy)
+    focal_x = width / (2.0 * tanfovx)
+
+    p_view, p_proj = project_points(means3d, world_view, full_proj)
+    depths = p_view[..., 2]
+    # Near-plane cull (auxiliary.h:139-164: in_frustum only tests view z).
+    in_front = depths > C.NEAR_PLANE_Z
+
+    if cov3d_precomp is not None:
+        cov3d = cov3d_precomp
+    else:
+        cov3d = quat.covariance_from_scaling_rotation(
+            scales, rotations, scale_modifier
+        )
+    cov2d = compute_cov2d(
+        p_view, cov3d, world_view, tanfovx, tanfovy, focal_x, focal_y
+    )
+
+    # Invert to conic (forward.cu:219-226). det==0 ⇒ culled.
+    a, b, c = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    det = a * c - b * b
+    det_ok = det != 0.0
+    det_inv = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack([c * det_inv, -b * det_inv, a * det_inv], axis=-1)
+
+    # Screen radius from max eigenvalue (forward.cu:229-232).
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(C.DET_FLOOR, mid * mid - det))
+    lambda1 = mid + disc
+    radius_f = jnp.ceil(C.RADIUS_SIGMA * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+
+    # Pixel-space center (differentiable — densification stats read its grad).
+    means2d = jnp.stack(
+        [
+            ((p_proj[..., 0] + 1.0) * width - 1.0) * 0.5,
+            ((p_proj[..., 1] + 1.0) * height - 1.0) * 0.5,
+        ],
+        axis=-1,
+    )
+
+    # Tile rect (auxiliary.h getRect): inclusive min, exclusive max, clamped.
+    grid_x = (width + C.TILE_X - 1) // C.TILE_X
+    grid_y = (height + C.TILE_Y - 1) // C.TILE_Y
+    r = radius_f
+    tmin_x = jnp.clip(
+        jnp.floor((means2d[..., 0] - r) / C.TILE_X), 0, grid_x
+    ).astype(jnp.int32)
+    tmin_y = jnp.clip(
+        jnp.floor((means2d[..., 1] - r) / C.TILE_Y), 0, grid_y
+    ).astype(jnp.int32)
+    tmax_x = jnp.clip(
+        jnp.floor((means2d[..., 0] + r + C.TILE_X - 1) / C.TILE_X), 0, grid_x
+    ).astype(jnp.int32)
+    tmax_y = jnp.clip(
+        jnp.floor((means2d[..., 1] + r + C.TILE_Y - 1) / C.TILE_Y), 0, grid_y
+    ).astype(jnp.int32)
+
+    valid = in_front & det_ok
+    tiles = jnp.where(
+        valid, (tmax_x - tmin_x) * (tmax_y - tmin_y), 0
+    ).astype(jnp.int32)
+    # A Gaussian touching zero tiles is dead (rasterizer_impl.cu:207-209).
+    alive = valid & (tiles > 0)
+    radii = jnp.where(alive, radius_f, 0.0).astype(jnp.int32)
+    tiles = jnp.where(alive, tiles, 0)
+
+    if colors_precomp is not None:
+        rgb = colors_precomp
+    else:
+        dirs = means3d - camera_center[None, :]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+        rgb = sh_lib.sh_to_rgb(sh_degree, shs, dirs)
+
+    return PreprocessOut(
+        means2d=means2d,
+        depths=depths,
+        conic=conic,
+        rgb=rgb,
+        radii=radii,
+        tile_min=jnp.stack([tmin_x, tmin_y], axis=-1),
+        tile_max=jnp.stack([tmax_x, tmax_y], axis=-1),
+        tiles_touched=tiles,
+    )
