@@ -1,0 +1,150 @@
+"""Gaussian primitive set: fixed-capacity pytree with an alive mask.
+
+TPU-native redesign of the reference GaussianModel (scene/gaussian_model.py):
+instead of torch tensors that are physically resized on densify/prune (with
+Adam-state surgery, gaussian_model.py:316-388), all per-primitive arrays have
+a **static capacity P_max** and an ``alive`` mask. Clone/split/prune become
+masked scatters with jit-stable shapes (see fourdgs_tpu.models.densify), and
+the Adam moments live in same-shaped arrays so "new slots get zero moments /
+pruned slots die" falls out of the same scatter (SURVEY.md §7 hard parts).
+
+Parameter tensors and activations mirror gaussian_model.py:29-64:
+  xyz [P,3] · features_dc [P,1,3] · features_rest [P,K−1,3] ·
+  scaling (log) [P,3] · rotation [P,4] · opacity (logit) [P,1]
+  activations: exp / normalize / sigmoid; covariance from (scale, rot).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourdgs_tpu.configs.core import Config
+from fourdgs_tpu.models import deformation as deform_lib
+from fourdgs_tpu.ops.knn import mean_sq_dist_3nn
+from fourdgs_tpu.utils import sh as sh_lib
+
+
+class GaussianState(NamedTuple):
+    """Everything the trainer owns. ``params`` are optimized; the rest is
+    auxiliary state (mirrors capture/restore, gaussian_model.py:66-106)."""
+
+    params: dict[str, Any]
+    alive: jnp.ndarray             # [P] bool
+    max_radii2d: jnp.ndarray       # [P] f32 (train.py:348)
+    xyz_gradient_accum: jnp.ndarray  # [P] f32 (add_densification_stats)
+    denom: jnp.ndarray             # [P] f32
+    deformation_accum: jnp.ndarray  # [P,3] f32 (|Δxyz| logging accumulator)
+    deformation_table: jnp.ndarray  # [P] bool (init True, gaussian_model.py:163)
+    aabb: jnp.ndarray              # [2,3] = [xyz_max, xyz_min]
+    active_sh_degree: jnp.ndarray  # [] int32 (annealed, oneupSHdegree)
+    spatial_lr_scale: float        # static python float
+
+
+def inverse_sigmoid(x):
+    return jnp.log(x / (1.0 - x))
+
+
+def num_sh_coeffs(sh_degree: int) -> int:
+    return (sh_degree + 1) ** 2
+
+
+def create_from_pcd(
+    key: jax.Array,
+    cfg: Config,
+    points: np.ndarray,        # [N,3]
+    colors: np.ndarray,        # [N,3] in [0,1]
+    spatial_lr_scale: float,
+) -> GaussianState:
+    """Initialize from a point cloud (gaussian_model.py:137-163) into the
+    fixed-capacity layout. Dead slots hold inert values (opacity logit −15,
+    tiny scales) and are masked out of rendering via ``alive``."""
+    cap = cfg.tpu.capacity
+    N = points.shape[0]
+    if N > cap:
+        raise ValueError(f"init cloud ({N}) exceeds capacity ({cap})")
+    K = num_sh_coeffs(cfg.model.sh_degree)
+
+    pts = jnp.asarray(points, jnp.float32)
+    dist2 = jnp.maximum(mean_sq_dist_3nn(pts), 1e-7)
+    log_scales = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
+
+    def padded(x, fill=0.0):
+        pad = [(0, cap - N)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad, constant_values=fill)
+
+    f_dc = sh_lib.rgb_to_sh(jnp.asarray(colors, jnp.float32))[:, None, :]
+    params: dict[str, Any] = {
+        "xyz": padded(pts),
+        "f_dc": padded(f_dc),
+        "f_rest": jnp.zeros((cap, K - 1, 3), jnp.float32),
+        "scaling": padded(log_scales, fill=-10.0),
+        "rotation": padded(
+            jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]]), (N, 1)), fill=0.0
+        ).at[N:, 0].set(1.0),
+        "opacity": padded(
+            inverse_sigmoid(0.1 * jnp.ones((N, 1))), fill=-15.0
+        ),
+    }
+    params["deform"] = deform_lib.init_deformation(
+        key, cfg.hidden, K
+    )
+
+    # AABB from the point cloud bbox, stored [max, min]
+    # (scene/__init__.py:85-91 → hexplane.set_aabb(xyz_max, xyz_min)).
+    aabb = jnp.stack([pts.max(axis=0), pts.min(axis=0)])
+
+    alive = jnp.zeros((cap,), bool).at[:N].set(True)
+    return GaussianState(
+        params=params,
+        alive=alive,
+        max_radii2d=jnp.zeros((cap,), jnp.float32),
+        xyz_gradient_accum=jnp.zeros((cap,), jnp.float32),
+        denom=jnp.zeros((cap,), jnp.float32),
+        deformation_accum=jnp.zeros((cap, 3), jnp.float32),
+        deformation_table=alive,
+        aabb=aabb,
+        active_sh_degree=jnp.int32(0),
+        spatial_lr_scale=float(spatial_lr_scale),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activations (gaussian_model.py:29-44, 47-64)
+
+
+def get_scaling(params, isotropic: bool = False) -> jnp.ndarray:
+    s = jnp.exp(params["scaling"])
+    if isotropic:
+        # Instant4D isotropic mode: broadcast the first axis to all three
+        # (utils/isotropic_gaussian.py:17-34) — a proper config branch here
+        # instead of the reference's monkey-patch (scene/__init__.py:130-141).
+        s = jnp.repeat(s[:, :1], 3, axis=1)
+    return s
+
+
+def get_rotation(params) -> jnp.ndarray:
+    q = params["rotation"]
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
+def get_opacity(params) -> jnp.ndarray:
+    return jax.nn.sigmoid(params["opacity"])
+
+
+def get_features(params) -> jnp.ndarray:
+    return jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+
+
+def one_up_sh_degree(state: GaussianState, max_sh_degree: int) -> GaussianState:
+    """Anneal active SH degree (gaussian_model.py:133-135, train.py:149-150)."""
+    return state._replace(
+        active_sh_degree=jnp.minimum(state.active_sh_degree + 1, max_sh_degree)
+    )
+
+
+def count_alive(state: GaussianState) -> jnp.ndarray:
+    return jnp.sum(state.alive.astype(jnp.int32))

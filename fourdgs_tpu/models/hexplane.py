@@ -1,0 +1,174 @@
+"""HexPlane spatio-temporal feature field, TPU-native.
+
+Parity target: reference scene/hexplane.py:109-183 (HexPlaneField) with
+identical semantics:
+
+- 6 planes per scale from ``itertools.combinations(range(4), 2)`` over
+  (x, y, z, t): (xy, xz, xt, yz, yt, zt) — spatial planes are indices
+  [0, 1, 3], temporal [2, 4, 5] (the regularizer split, gaussian_model.py:538-577).
+- multires multipliers scale the *spatial* resolutions only (hexplane.py:128-140).
+- time-containing planes init to 1.0, spatial planes uniform(0.1, 0.5)
+  (hexplane.py:60-68).
+- query: xyz normalized to the AABB (stored [max, min]! — the reference's
+  normalize_aabb at hexplane.py:19-20 maps max→−1, min→+1; we keep that
+  behavior for checkpoint compatibility), raw t in [0, 1] appended
+  unnormalized, bilinear sample per plane with align_corners=True + border
+  padding, **product** over the 6 planes, **concat** over scales
+  (hexplane.py:84-106).
+
+The torch ``F.grid_sample`` becomes a gather-based bilinear interpolation that
+XLA fuses; planes are stored feature-last ([Ra, Rb, F]) so the per-point
+4-corner gather vectorizes over the feature lanes.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourdgs_tpu.configs.core import KPlanesConfig
+
+SPATIAL_PLANES = (0, 1, 3)   # xy, xz, yz
+TEMPORAL_PLANES = (2, 4, 5)  # xt, yt, zt
+COO_COMBS = tuple(itertools.combinations(range(4), 2))
+
+
+def init_hexplane(
+    key: jax.Array,
+    kcfg: KPlanesConfig,
+    multires: tuple[int, ...],
+    a: float = 0.1,
+    b: float = 0.5,
+) -> dict[str, jnp.ndarray]:
+    """Create the plane parameter dict.
+
+    Keys are ``grid_s{scale}_p{plane}`` — the "grid" prefix drives the
+    optimizer param-group split exactly like the reference's name-based split
+    (deformation.py:149-160: "grid" in name → grid LR group).
+    """
+    params: dict[str, jnp.ndarray] = {}
+    keys = jax.random.split(key, len(multires) * len(COO_COMBS))
+    i = 0
+    for s, mult in enumerate(multires):
+        reso = [r * mult for r in kcfg.resolution[:3]] + [kcfg.resolution[3]]
+        for p, comb in enumerate(COO_COMBS):
+            shape = (reso[comb[0]], reso[comb[1]], kcfg.output_coordinate_dim)
+            if 3 in comb:
+                params[f"grid_s{s}_p{p}"] = jnp.ones(shape, jnp.float32)
+            else:
+                params[f"grid_s{s}_p{p}"] = jax.random.uniform(
+                    keys[i], shape, jnp.float32, a, b
+                )
+            i += 1
+    return params
+
+
+def feat_dim(kcfg: KPlanesConfig, multires: tuple[int, ...]) -> int:
+    """Concatenated feature width (hexplane.py:141-145)."""
+    return kcfg.output_coordinate_dim * len(multires)
+
+
+def _bilinear_plane(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Sample [Ra, Rb, F] at normalized coords (u, v) ∈ [−1, 1]² → [N, F].
+
+    align_corners=True (−1 → texel 0, +1 → texel R−1) with border clamping,
+    matching F.grid_sample(..., align_corners=True, padding_mode='border')
+    (hexplane.py:39-43).
+    """
+    Ra, Rb, _ = plane.shape
+    x = jnp.clip((u + 1.0) * 0.5 * (Ra - 1), 0.0, Ra - 1)
+    y = jnp.clip((v + 1.0) * 0.5 * (Rb - 1), 0.0, Rb - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, Ra - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, Rb - 1).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, Ra - 1)
+    y1 = jnp.minimum(y0 + 1, Rb - 1)
+    wx = (x - x0.astype(x.dtype))[:, None]
+    wy = (y - y0.astype(y.dtype))[:, None]
+    flat = plane.reshape(Ra * Rb, -1)
+    g = lambda xi, yi: jnp.take(flat, xi * Rb + yi, axis=0)
+    return (
+        g(x0, y0) * (1 - wx) * (1 - wy)
+        + g(x1, y0) * wx * (1 - wy)
+        + g(x0, y1) * (1 - wx) * wy
+        + g(x1, y1) * wx * wy
+    )
+
+
+def normalize_aabb(xyz: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
+    """(xyz − aabb[0]) · 2/(aabb[1] − aabb[0]) − 1, with aabb = [max, min].
+
+    Keeps the reference's inverted mapping (hexplane.py:19-20 with set_aabb
+    called as (xyz_max, xyz_min), scene/__init__.py:91): max → −1, min → +1.
+    """
+    return (xyz - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
+
+
+def query_hexplane(
+    params: dict[str, jnp.ndarray],
+    aabb: jnp.ndarray,        # [2,3] = [xyz_max, xyz_min]
+    xyz: jnp.ndarray,         # [N,3]
+    t: jnp.ndarray,           # [N] or [N,1] normalized time
+    multires_len: int,
+) -> jnp.ndarray:
+    """Multi-scale interpolated features → [N, F_total].
+
+    Product over the 6 planes within a scale, concat across scales
+    (interpolate_ms_features, hexplane.py:73-106). Note t is used raw (the
+    reference concatenates timestamps after AABB normalization,
+    hexplane.py:163-164) so t∈[0,1] addresses the upper half of the temporal
+    axis — preserved for parity.
+    """
+    pts = jnp.concatenate(
+        [normalize_aabb(xyz, aabb), t.reshape(-1, 1)], axis=-1
+    )
+    feats = []
+    for s in range(multires_len):
+        prod = None
+        for p, comb in enumerate(COO_COMBS):
+            v = _bilinear_plane(
+                params[f"grid_s{s}_p{p}"], pts[:, comb[0]], pts[:, comb[1]]
+            )
+            prod = v if prod is None else prod * v
+        feats.append(prod)
+    return jnp.concatenate(feats, axis=-1)
+
+
+def hexplane_regularization(
+    params: dict[str, jnp.ndarray],
+    multires_len: int,
+    plane_tv_weight: float,
+    time_smoothness_weight: float,
+    l1_time_planes_weight: float,
+) -> jnp.ndarray:
+    """Grid regularizers applied in the fine stage (train.py:251-254).
+
+    Parity with gaussian_model.compute_regulation (gaussian_model.py:538-577)
+    and compute_plane_smoothness (scene/regulation.py:22-28). Despite the
+    names, the reference applies the *same* mean-squared second difference
+    along the torch grid's h axis — the plane's **second coordinate** — to
+    both groups: spatial planes [0,1,3] under plane_tv_weight, temporal planes
+    [2,4,5] under time_smoothness_weight; plus L1(|1 − g|) pulling the
+    temporal planes toward their identity init. In our [Ra, Rb, F] layout the
+    h axis is axis 1.
+    """
+    total_tv = 0.0
+    total_time = 0.0
+    total_l1 = 0.0
+    for s in range(multires_len):
+        for p in range(6):
+            g = params[f"grid_s{s}_p{p}"]  # [Ra, Rb, F]
+            d2 = g[:, 2:, :] - 2.0 * g[:, 1:-1, :] + g[:, :-2, :]
+            if p in SPATIAL_PLANES:
+                total_tv = total_tv + jnp.mean(d2 * d2)
+            else:
+                total_time = total_time + jnp.mean(d2 * d2)
+                total_l1 = total_l1 + jnp.mean(jnp.abs(1.0 - g))
+    return (
+        plane_tv_weight * total_tv
+        + time_smoothness_weight * total_time
+        + l1_time_planes_weight * total_l1
+    )

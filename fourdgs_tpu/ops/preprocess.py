@@ -106,6 +106,7 @@ def preprocess(
     scale_modifier: float = 1.0,
     cov3d_precomp: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
+    alive: jnp.ndarray | None = None,
 ) -> PreprocessOut:
     """Vectorized forward preprocess over all P Gaussians.
 
@@ -174,6 +175,10 @@ def preprocess(
     ).astype(jnp.int32)
 
     valid = in_front & det_ok
+    if alive is not None:
+        # Fixed-capacity model: dead slots are culled before binning so they
+        # consume no instance-budget (fourdgs_tpu.models.gaussians design).
+        valid = valid & alive
     tiles = jnp.where(
         valid, (tmax_x - tmin_x) * (tmax_y - tmin_y), 0
     ).astype(jnp.int32)

@@ -85,6 +85,7 @@ def rasterize_reference(
     colors_precomp: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,
     means2d_offset: jnp.ndarray | None = None,
+    alive_mask: jnp.ndarray | None = None,
     chunk: int = 128,
 ) -> RasterOut:
     """Render one camera. Differentiable w.r.t. all Gaussian inputs.
@@ -100,6 +101,7 @@ def rasterize_reference(
         camera_center, world_view, full_proj,
         tanfovx, tanfovy, width, height, sh_degree,
         cov3d_precomp=cov3d_precomp, colors_precomp=colors_precomp,
+        alive=alive_mask,
     )
     means2d = pre.means2d
     if means2d_offset is not None:

@@ -156,6 +156,7 @@ def rasterize_tiled(
     colors_precomp: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,
     means2d_offset: jnp.ndarray | None = None,
+    alive: jnp.ndarray | None = None,
     chunk: int = 256,
 ) -> TiledRasterOut:
     """Render one camera through the tiled pipeline (differentiable).
@@ -169,6 +170,7 @@ def rasterize_tiled(
         camera_center, world_view, full_proj,
         tanfovx, tanfovy, width, height, sh_degree,
         cov3d_precomp=cov3d_precomp, colors_precomp=colors_precomp,
+        alive=alive,
     )
     means2d = pre.means2d
     if means2d_offset is not None:

@@ -1,0 +1,330 @@
+"""Training loop: the TPU-native scene_reconstruction.
+
+Reimplements train.py:43-401 of the reference with the hot path fully jitted:
+
+- ``train_step``: render a camera batch (vmapped tiled rasterizer), L1 +
+  fine-stage grid regulation (+ optional D-SSIM), backward, Adam with the
+  per-group LR schedules, densification-stat accumulation — one compiled
+  XLA program, no host syncs inside.
+- ``maintenance``: clone/split/prune/opacity-reset as separate jitted calls
+  gated by the host on the reference's exact schedule (train.py:346-372:
+  densify while P<360k every densification_interval after densify_from_iter;
+  prune while P>200k; thresholds linearly annealed in the fine stage;
+  size_threshold 20 only after the first opacity reset).
+- batching replicates the reference's random-pop-without-replacement camera
+  stack (train.py:166-177); zerostamp_init restricts the coarse stage to
+  timestamp-0 cameras (train.py:101-107).
+
+The reference's per-iteration Python work (``.item()`` logging, viewer
+polling) throttles its GPU; here metrics return as device arrays and are
+materialized only every ``log_interval`` iterations.
+"""
+
+from __future__ import annotations
+
+import random as pyrandom
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourdgs_tpu.configs.core import Config
+from fourdgs_tpu.models import densify as dens
+from fourdgs_tpu.models import gaussians as G
+from fourdgs_tpu.models import hexplane as hp
+from fourdgs_tpu.models.gaussians import GaussianState
+from fourdgs_tpu.render import CameraArrays, render
+from fourdgs_tpu.train import adam
+from fourdgs_tpu.utils import losses
+from fourdgs_tpu.utils.timer import DetailedTimer
+
+
+def make_train_step(
+    cfg: Config, width: int, height: int, stage: str, active_sh_degree: int,
+    spatial_lr_scale: float = 1.0,
+) -> Callable:
+    """Build the jitted train step for a (resolution, stage, sh_degree).
+
+    ``spatial_lr_scale`` is closed over statically (it is fixed per scene,
+    gaussian_model.py:138) so the LR schedule constants fold at trace time.
+    """
+
+    bg = jnp.array(
+        [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
+    )
+
+    def loss_fn(params, carrier, state, cams, gts):
+        def render_one(cam, off):
+            out = render(
+                params, state, cam, cfg, width, height, stage, bg,
+                active_sh_degree, means2d_offset=off,
+            )
+            return out.color, (out.radii, out.num_rendered, out.max_tile_len,
+                               out.dxyz_abs)
+        colors, aux = jax.vmap(render_one, in_axes=(0, 0))(cams, carrier)
+        gts = gts[:, :3]
+        l1 = losses.l1_loss(colors, gts)
+        loss = l1
+        if stage == "fine" and cfg.hidden.time_smoothness_weight != 0:
+            loss = loss + hp.hexplane_regularization(
+                params["deform"], len(cfg.hidden.multires),
+                cfg.hidden.plane_tv_weight,
+                cfg.hidden.time_smoothness_weight,
+                cfg.hidden.l1_time_planes,
+            )
+        if cfg.opt.lambda_dssim != 0:
+            loss = loss + cfg.opt.lambda_dssim * (1.0 - losses.ssim(colors, gts))
+        psnr = jnp.mean(losses.psnr(colors, gts))
+        return loss, (l1, psnr, aux)
+
+    @jax.jit
+    def train_step(params, adam_state, state: GaussianState, cams, gts, step):
+        B = gts.shape[0]
+        P = params["xyz"].shape[0]
+        carrier = jnp.zeros((B, P, 2), jnp.float32)
+        (loss, (l1, psnr, aux)), (g_params, g_carrier) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, carrier, state, cams, gts)
+
+        radii_b, num_rendered_b, tile_len_b, dxyz_b = aux
+        radii = jnp.max(radii_b, axis=0)                  # train.py:229 max over batch
+        vs_grad = jnp.sum(g_carrier, axis=0)              # train.py:266-268 sum over batch
+
+        lrs = adam.learning_rates(step, cfg.opt, spatial_lr_scale)
+        lr_tree = adam.lr_tree_for_params(params, lrs)
+        new_params, new_adam = adam.update(params, g_params, adam_state, lr_tree)
+
+        # densification stats (train.py:346-349) — cheap, always accumulated
+        state = dens.add_densification_stats(state, vs_grad, radii, width, height)
+        state = state._replace(
+            deformation_accum=state.deformation_accum + jnp.mean(dxyz_b, axis=0)
+        )
+        metrics = {
+            "loss": loss,
+            "l1": l1,
+            "psnr": psnr,
+            "num_rendered": jnp.max(num_rendered_b),
+            "max_tile_len": jnp.max(tile_len_b),
+            "n_points": G.count_alive(state),
+        }
+        return new_params, new_adam, state, metrics
+
+    return train_step
+
+
+def make_maintenance(cfg: Config):
+    """Jitted densify/prune/reset wrappers over fourdgs_tpu.models.densify."""
+
+    iso = cfg.model.use_isotropic_gaussian
+
+    @jax.jit
+    def densify_fn(key, state, mu, nu, grad_threshold, opacity_threshold,
+                   extent, size_threshold_on):
+        grads = dens.compute_grads(state)
+        moments = (mu, nu)
+        state, moments, n_cloned = dens.densify_and_clone(
+            state, moments, grads, grad_threshold, extent,
+            cfg.opt.percent_dense, isotropic=iso,
+        )
+        state, moments, n_split = dens.densify_and_split(
+            key, state, moments, grads, grad_threshold, extent,
+            cfg.opt.percent_dense, isotropic=iso,
+        )
+        return state, moments[0], moments[1], n_cloned + n_split
+
+    @jax.jit
+    def prune_fn(state, opacity_threshold, extent, size_threshold_on):
+        # size_threshold 20 applies only after the first opacity reset
+        # (train.py:361-364); traced as a 0/1 flag.
+        return dens.prune(
+            state, opacity_threshold, extent, size_threshold_on, isotropic=iso
+        )
+
+    @jax.jit
+    def reset_fn(state, mu, nu):
+        state, (mu, nu) = dens.reset_opacity(state, (mu, nu))
+        return state, mu, nu
+
+    return densify_fn, prune_fn, reset_fn
+
+
+@dataclass
+class TrainLog:
+    iterations: list = field(default_factory=list)
+    ema_loss: float = 0.0
+    ema_psnr: float = 0.0
+
+
+def scene_reconstruction(
+    cfg: Config,
+    state: GaussianState,
+    adam_state: adam.AdamState,
+    train_cameras: list,          # list of (graphics.Camera, gt ndarray [C,H,W])
+    stage: str,
+    train_iter: int,
+    cameras_extent: float,
+    timer: DetailedTimer | None = None,
+    rng_seed: int = 6666,
+    log_interval: int = 50,
+    log_fn: Callable | None = None,
+    max_sh_degree: int | None = None,
+) -> tuple[GaussianState, adam.AdamState, TrainLog]:
+    """Train one stage (coarse or fine). Returns updated state + optimizer.
+
+    Cameras must share one resolution (per-resolution compiled programs, as
+    in all the reference's dataset configs).
+    """
+    if not train_cameras:
+        return state, adam_state, TrainLog()
+    opt = cfg.opt
+    max_sh = cfg.model.sh_degree if max_sh_degree is None else max_sh_degree
+    img0 = train_cameras[0][1]
+    if img0.ndim == 3 and img0.shape[-1] in (3, 4):   # HWC uint8 loader format
+        height, width = img0.shape[:2]
+    else:                                             # CHW float format
+        height, width = img0.shape[-2:]
+    rng = pyrandom.Random(rng_seed)
+    key = jax.random.key(rng_seed)
+
+    # zerostamp_init: coarse stage trains only timestamp-0 cameras
+    # (train.py:101-107, get_stamp_list).
+    cams = train_cameras
+    if stage == "coarse" and opt.zerostamp_init:
+        t0 = cams[0][0].time
+        cams = [c for c in cams if abs(c[0].time - t0) < 1e-9]
+
+    cam_arrays = [CameraArrays.from_camera(c) for c, _ in cams]
+    gt_list = [np.asarray(g) for _, g in cams]  # uint8 HWC or float CHW
+
+    densify_fn, prune_fn, reset_fn = make_maintenance(cfg)
+    train_steps: dict[int, Callable] = {}
+
+    stack: list[int] = []
+    log = TrainLog()
+    B = opt.batch_size
+
+    for iteration in range(1, train_iter + 1):
+        if timer:
+            timer.start_iteration(iteration)
+            timer.start_timer(f"{stage}_data_loading")
+        # SH annealing every 1000 iters (train.py:149-150)
+        if iteration % 1000 == 0:
+            state = G.one_up_sh_degree(state, max_sh)
+
+        # camera batch: random pop without replacement, stack refilled
+        batch_idx = []
+        for _ in range(B):
+            if not stack:
+                stack = list(range(len(cams)))
+            batch_idx.append(stack.pop(rng.randrange(len(stack))))
+        batch_cams = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[cam_arrays[i] for i in batch_idx]
+        )
+        gts_np = np.stack([gt_list[i] for i in batch_idx])
+        if gts_np.dtype == np.uint8:
+            # loader keeps uint8 [H,W,3]; normalize + CHW on device
+            gts = jnp.asarray(gts_np).astype(jnp.float32).transpose(0, 3, 1, 2) / 255.0
+        else:
+            gts = jnp.asarray(gts_np)
+        if timer:
+            timer.end_timer(f"{stage}_data_loading")
+            timer.start_timer(f"{stage}_render")
+
+        sh_deg = int(state.active_sh_degree)
+        if sh_deg not in train_steps:
+            train_steps[sh_deg] = make_train_step(
+                cfg, width, height, stage, sh_deg,
+                spatial_lr_scale=float(state.spatial_lr_scale),
+            )
+        adam_state, state, metrics = _run_step(
+            train_steps[sh_deg], state, adam_state, batch_cams, gts, iteration
+        )
+        if timer:
+            timer.end_timer(f"{stage}_render")
+            timer.start_timer(f"{stage}_densification")
+
+        # Densification / pruning / opacity reset on the reference schedule.
+        if iteration < opt.densify_until_iter:
+            if stage == "coarse":
+                opacity_threshold = opt.opacity_threshold_coarse
+                densify_threshold = opt.densify_grad_threshold_coarse
+            else:
+                frac = iteration / opt.densify_until_iter
+                opacity_threshold = opt.opacity_threshold_fine_init - frac * (
+                    opt.opacity_threshold_fine_init - opt.opacity_threshold_fine_after
+                )
+                densify_threshold = opt.densify_grad_threshold_fine_init - frac * (
+                    opt.densify_grad_threshold_fine_init - opt.densify_grad_threshold_after
+                )
+            size_on = jnp.asarray(iteration > opt.opacity_reset_interval)
+            densify_due = (
+                iteration > opt.densify_from_iter
+                and iteration % opt.densification_interval == 0
+            )
+            prune_due = (
+                iteration > opt.pruning_from_iter
+                and iteration % opt.pruning_interval == 0
+            )
+            # host sync on the live point count only when a gate needs it
+            n_points = (
+                int(metrics["n_points"]) if (densify_due or prune_due) else 0
+            )
+            if densify_due and n_points < 360_000:
+                key, sub = jax.random.split(key)
+                state, mu, nu, _ = densify_fn(
+                    sub, state, adam_state.mu, adam_state.nu,
+                    jnp.float32(densify_threshold),
+                    jnp.float32(opacity_threshold),
+                    jnp.float32(cameras_extent), size_on,
+                )
+                adam_state = adam_state._replace(mu=mu, nu=nu)
+            if prune_due and n_points > 200_000:
+                state, _ = prune_fn(
+                    state, jnp.float32(opacity_threshold),
+                    jnp.float32(cameras_extent), size_on,
+                )
+            if iteration % opt.opacity_reset_interval == 0:
+                state, mu, nu = reset_fn(state, adam_state.mu, adam_state.nu)
+                adam_state = adam_state._replace(mu=mu, nu=nu)
+        if timer:
+            timer.end_timer(f"{stage}_densification")
+
+        if iteration % log_interval == 0 or iteration == train_iter:
+            if timer:
+                timer.start_timer(f"{stage}_logging")
+            m = {k: float(v) for k, v in metrics.items()}
+            log.ema_loss = 0.4 * m["loss"] + 0.6 * log.ema_loss
+            log.ema_psnr = 0.4 * m["psnr"] + 0.6 * log.ema_psnr
+            log.iterations.append({"iter": iteration, "stage": stage, **m})
+            if timer:
+                timer.log_iteration(
+                    iteration=iteration, loss=m["loss"], psnr=m["psnr"],
+                    l1_loss=m["l1"], stage=stage,
+                    total_points=int(m["n_points"]),
+                    ema_loss=log.ema_loss, ema_psnr=log.ema_psnr,
+                )
+            if log_fn:
+                log_fn(iteration, stage, m)
+            if np.isnan(m["loss"]):
+                # NaN watchdog (train.py:263-265) — surface it, don't re-exec.
+                raise FloatingPointError(
+                    f"loss is NaN at {stage} iteration {iteration}"
+                )
+            if timer:
+                timer.end_timer(f"{stage}_logging")
+        if timer:
+            timer.end_iteration(iteration, stage)
+
+    return state, adam_state, log
+
+
+def _run_step(step_fn, state, adam_state, batch_cams, gts, iteration):
+    """Invoke the jitted step; params threaded explicitly through state."""
+    new_params, new_adam, new_state, metrics = step_fn(
+        state.params, adam_state, state, batch_cams, gts, iteration
+    )
+    return new_adam, new_state._replace(params=new_params), metrics

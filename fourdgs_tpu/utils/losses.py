@@ -1,0 +1,80 @@
+"""Image losses and metrics.
+
+Parity targets: utils/loss_utils.py (l1/l2, windowed SSIM with an 11×11
+Gaussian window σ=1.5 and zero 'same' padding) and utils/image_utils.py
+(PSNR = 20·log10(1/√mse)) in the reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def l2_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - gt) ** 2)
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Per-image PSNR over flattened pixels (utils/image_utils.py:16-22).
+
+    pred/gt: [..., C, H, W]; returns [...] (mean over C·H·W per image).
+    """
+    mse = jnp.mean(
+        (pred - gt) ** 2, axis=tuple(range(pred.ndim - 3, pred.ndim))
+    )
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-20)))
+
+
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = np.array(
+        [
+            math.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2))
+            for x in range(window_size)
+        ]
+    )
+    g = g / g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
+def ssim(
+    img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11
+) -> jnp.ndarray:
+    """Windowed SSIM (utils/loss_utils.py:32-68): per-channel Gaussian window,
+    zero 'same' padding, C1 = 0.01², C2 = 0.03², mean over everything.
+
+    img1/img2: [C, H, W] or [B, C, H, W].
+    """
+    if img1.ndim == 3:
+        img1 = img1[None]
+        img2 = img2[None]
+    C = img1.shape[1]
+    w = jnp.asarray(_gaussian_window(window_size))
+    kernel = jnp.tile(w[None, None], (C, 1, 1, 1))  # [C,1,K,K] depthwise
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=(1, 1),
+            padding=[(window_size // 2,) * 2] * 2,
+            feature_group_count=C,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+
+    mu1, mu2 = conv(img1), conv(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = conv(img1 * img1) - mu1_sq
+    sigma2_sq = conv(img2 * img2) - mu2_sq
+    sigma12 = conv(img1 * img2) - mu12
+    C1, C2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu12 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    return jnp.mean(ssim_map)

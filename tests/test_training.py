@@ -1,0 +1,164 @@
+"""End-to-end training tests on synthetic scenes.
+
+The reference's quality control is empirical (SURVEY.md §4: short-run
+integration runs + PSNR-at-iteration checks); these tests reproduce that at
+CI scale: build a ground-truth scene of random Gaussians, render target images
+with the oracle, train from a perturbed init, and require the loss/PSNR to
+improve. Exercises the full stack: create_from_pcd → render (tiled) → loss →
+Adam with scheduled group LRs → densify/prune/reset — and the fine stage with
+deformation on a moving scene.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fourdgs_tpu.configs.core import KPlanesConfig, load_config
+from fourdgs_tpu.models import gaussians as G
+from fourdgs_tpu.ops.reference import rasterize_reference
+from fourdgs_tpu.train import adam
+from fourdgs_tpu.train.loop import scene_reconstruction
+from fourdgs_tpu.utils import losses
+from tests.test_math_core import look_at_camera
+
+
+def tiny_cfg(capacity=256):
+    cfg = load_config()
+    cfg.tpu.capacity = capacity
+    cfg.tpu.instance_budget = 8192
+    cfg.tpu.tile_budget = 256
+    cfg.tpu.blend_chunk = 64
+    cfg.hidden.kplanes_config = KPlanesConfig(
+        resolution=(8, 8, 8, 4), output_coordinate_dim=8
+    )
+    cfg.hidden.multires = (1,)
+    cfg.hidden.net_width = 16
+    cfg.hidden.defor_depth = 1
+    cfg.model.sh_degree = 1
+    cfg.model.white_background = False
+    cfg.opt.batch_size = 2
+    cfg.opt.densify_from_iter = 30
+    cfg.opt.densification_interval = 40
+    cfg.opt.pruning_from_iter = 30
+    cfg.opt.pruning_interval = 40
+    cfg.opt.opacity_reset_interval = 100000  # off for the short run
+    cfg.opt.densify_until_iter = 10000
+    cfg.opt.position_lr_max_steps = 200
+    return cfg
+
+
+def make_gt_scene(n=24, seed=0, moving=False):
+    """Ground-truth Gaussians + rendered target images from a camera ring."""
+    rng = np.random.default_rng(seed)
+    gt = {
+        "means3d": jnp.array(rng.uniform(-0.6, 0.6, (n, 3)), jnp.float32),
+        "scales": jnp.array(rng.uniform(0.08, 0.25, (n, 3)), jnp.float32),
+        "rotations": jnp.array(
+            rng.normal(size=(n, 4)) + np.array([3.0, 0, 0, 0]), jnp.float32
+        ),
+        "opacities": jnp.array(rng.uniform(0.6, 0.95, (n,)), jnp.float32),
+        "shs": jnp.array(rng.uniform(-0.4, 1.2, (n, 4, 3)), jnp.float32),
+    }
+    cams = []
+    n_cams, n_times = 8, (3 if moving else 1)
+    for ti in range(n_times):
+        t = ti / max(n_times - 1, 1)
+        offset = jnp.array([0.3 * t, 0.0, 0.0])
+        for ci in range(n_cams):
+            ang = 2 * np.pi * ci / n_cams
+            eye = [2.5 * np.sin(ang), 0.4, -2.5 * np.cos(ang)]
+            cam = look_at_camera(eye, [0, 0, 0], width=48, height=48, time=t)
+            out = rasterize_reference(
+                gt["means3d"] + offset[None, :], gt["scales"],
+                gt["rotations"], gt["opacities"], gt["shs"],
+                jnp.array(cam.camera_center), jnp.array(cam.world_view),
+                jnp.array(cam.full_proj), cam.tanfovx, cam.tanfovy,
+                48, 48, 1, jnp.zeros(3),
+            )
+            cams.append((cam, np.asarray(out.color)))
+    return gt, cams
+
+
+class TestCoarseTraining:
+    def test_loss_decreases_and_psnr_improves(self):
+        cfg = tiny_cfg()
+        gt, cams = make_gt_scene()
+        rng = np.random.default_rng(1)
+        # init: GT points perturbed, colors gray
+        pts = np.asarray(gt["means3d"]) + rng.normal(0, 0.05, (24, 3))
+        cols = np.full((24, 3), 0.5, np.float32)
+        state = G.create_from_pcd(
+            jax.random.key(0), cfg, pts.astype(np.float32), cols, 1.0
+        )
+        opt_state = adam.init(state.params)
+
+        state, opt_state, log = scene_reconstruction(
+            cfg, state, opt_state, cams, "coarse", 150,
+            cameras_extent=3.0, log_interval=25,
+        )
+        first, last = log.iterations[0], log.iterations[-1]
+        assert last["loss"] < first["loss"] * 0.7
+        assert last["psnr"] > first["psnr"] + 2.0
+        assert np.isfinite(last["loss"])
+
+    def test_densification_fires(self):
+        cfg = tiny_cfg()
+        cfg.opt.densify_grad_threshold_coarse = 1e-7  # force clones/splits
+        gt, cams = make_gt_scene()
+        rng = np.random.default_rng(1)
+        pts = np.asarray(gt["means3d"]) + rng.normal(0, 0.05, (24, 3))
+        state = G.create_from_pcd(
+            jax.random.key(0), cfg, pts.astype(np.float32),
+            np.full((24, 3), 0.5, np.float32), 1.0,
+        )
+        n0 = int(G.count_alive(state))
+        opt_state = adam.init(state.params)
+        state, opt_state, log = scene_reconstruction(
+            cfg, state, opt_state, cams, "coarse", 90,
+            cameras_extent=3.0, log_interval=30,
+        )
+        assert int(G.count_alive(state)) > n0
+
+
+class TestFineTraining:
+    def test_fine_stage_with_deformation(self):
+        cfg = tiny_cfg()
+        cfg.hidden.no_dx = False  # enable position deformation
+        gt, cams = make_gt_scene(moving=True)
+        rng = np.random.default_rng(2)
+        pts = np.asarray(gt["means3d"]) + rng.normal(0, 0.05, (24, 3))
+        state = G.create_from_pcd(
+            jax.random.key(0), cfg, pts.astype(np.float32),
+            np.full((24, 3), 0.5, np.float32), 1.0,
+        )
+        opt_state = adam.init(state.params)
+        # short coarse warmup then fine with deformation + regulation
+        state, opt_state, _ = scene_reconstruction(
+            cfg, state, opt_state, cams, "coarse", 40,
+            cameras_extent=3.0, log_interval=20,
+        )
+        state, opt_state, log = scene_reconstruction(
+            cfg, state, opt_state, cams, "fine", 120,
+            cameras_extent=3.0, log_interval=30,
+        )
+        first, last = log.iterations[0], log.iterations[-1]
+        assert last["loss"] < first["loss"]
+        assert np.isfinite(last["loss"])
+
+    def test_zerostamp_init_filters_cameras(self):
+        cfg = tiny_cfg()
+        cfg.opt.zerostamp_init = True
+        gt, cams = make_gt_scene(moving=True)
+        state = G.create_from_pcd(
+            jax.random.key(0), cfg,
+            np.asarray(gt["means3d"]),
+            np.full((24, 3), 0.5, np.float32), 1.0,
+        )
+        opt_state = adam.init(state.params)
+        # runs without error using only t=0 cameras
+        state, opt_state, log = scene_reconstruction(
+            cfg, state, opt_state, cams, "coarse", 10,
+            cameras_extent=3.0, log_interval=5,
+        )
+        assert len(log.iterations) > 0
