@@ -1,0 +1,125 @@
+"""Benchmark: end-to-end train-step throughput on a D-NeRF-class workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: fine-stage 4DGS training step — HexPlane + deformation MLP forward,
+tiled rasterize fwd+bwd, Adam — on a synthetic bouncingballs-scale scene
+(dnerf config shape: 800×800 render, defor_depth 1, net_width 64,
+multires [1,2], ~60k alive Gaussians, batch 1). Metric is trained
+pixels/s/chip = H·W·batch·steps ÷ wall-clock.
+
+Baseline derivation (BASELINE.md): the reference trains D-NeRF in 8 min for
+3k coarse + 20k fine iterations at 800×800 on an RTX-3090-class GPU
+(README.md:37) ⇒ 23000 × 640000 px / 480 s ≈ 3.07e7 trained px/s. This is the
+same end-to-end definition measured here, so vs_baseline = value / 3.07e7.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PX_PER_S = 23_000 * 800 * 800 / 480.0  # ≈ 3.07e7 (reference, 1 GPU)
+
+
+def build_workload(height=800, width=800, n_points=60_000, capacity=65_536,
+                   batch=1, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from fourdgs_tpu.configs.core import KPlanesConfig, load_config
+    from fourdgs_tpu.models import gaussians as G
+    from fourdgs_tpu.render import CameraArrays
+    from fourdgs_tpu.train import adam
+    from fourdgs_tpu.train.loop import make_train_step
+    from fourdgs_tpu.utils import graphics
+
+    cfg = load_config()
+    # dnerf-shaped config (arguments/dnerf/dnerf_default.py: net_width 64,
+    # defor_depth 1 default, multires [1,2], no_do/no_dshs True)
+    cfg.tpu.capacity = capacity
+    cfg.tpu.instance_budget = 1 << 21
+    cfg.tpu.tile_budget = 2048
+    cfg.tpu.blend_chunk = 256
+    cfg.hidden.multires = (1, 2)
+    cfg.hidden.net_width = 64
+    cfg.hidden.defor_depth = 1
+    cfg.hidden.no_dx = False
+    cfg.model.sh_degree = 3
+    cfg.opt.batch_size = batch
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1.2, 1.2, (n_points, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (n_points, 3)).astype(np.float32)
+    state = G.create_from_pcd(jax.random.key(seed), cfg, pts, cols, 1.0)
+    adam_state = adam.init(state.params)
+
+    import math
+    cams = []
+    for i in range(batch):
+        ang = 0.3 + 0.5 * i
+        eye = np.array([3.2 * math.sin(ang), 0.5, -3.2 * math.cos(ang)])
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(up, fwd); right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R = np.stack([right, up2, fwd], axis=1)
+        T = -R.T @ eye
+        fov = math.pi / 3
+        cams.append(CameraArrays.from_camera(
+            graphics.make_camera(R, T, fov, fov, width, height,
+                                 time=i / max(batch, 1))
+        ))
+    batch_cams = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    gts = jnp.asarray(
+        rng.uniform(0, 1, (batch, 3, height, width)).astype(np.float32)
+    )
+    step = make_train_step(cfg, width, height, "fine", active_sh_degree=3)
+    return step, state, adam_state, batch_cams, gts
+
+
+def main():
+    import jax
+
+    height = width = 800
+    batch = 1
+    warmup, iters = 3, 20
+    step, state, adam_state, batch_cams, gts = build_workload(
+        height=height, width=width, batch=batch
+    )
+    params = state.params
+
+    # warmup (compile + budget caches)
+    for i in range(warmup):
+        params, adam_state, state, metrics = step(
+            params, adam_state, state, batch_cams, gts, i + 1
+        )
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.time()
+    for i in range(iters):
+        params, adam_state, state, metrics = step(
+            params, adam_state, state, batch_cams, gts, warmup + i + 1
+        )
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+
+    px_per_s = height * width * batch * iters / dt
+    print(json.dumps({
+        "metric": "trained_pixels_per_s_per_chip",
+        "value": round(px_per_s, 1),
+        "unit": "pixel/s",
+        "vs_baseline": round(px_per_s / BASELINE_PX_PER_S, 4),
+    }))
+    print(
+        f"# {iters} steps in {dt:.3f}s = {iters/dt:.2f} it/s "
+        f"({px_per_s/1e6:.2f} Mpx/s), loss={float(metrics['loss']):.4f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -175,20 +175,27 @@ _GROUPS = {
 def _apply_overrides(cfg: Config, overrides: dict[str, Any]) -> Config:
     """Merge an mmengine-style dict {GroupName: {knob: value}} into cfg.
 
-    Like the reference merge_hparams (utils/params_utils.py:1-9), only knobs
-    that already exist on the target group are applied; unknown keys raise
+    Like the reference merge_hparams (utils/params_utils.py:1-9) the merge is
+    effectively flat: a knob listed under the "wrong" group header still
+    applies to whichever group owns it (the reference's config files rely on
+    this, e.g. render_process inside OptimizationParams in
+    arguments/dnerf/dnerf_default.py). A knob that exists on no group raises
     (stricter than the reference's silent skip, which hides typos).
     """
+    all_groups = [getattr(cfg, a) for a in _GROUPS.values()]
     for group_name, knobs in overrides.items():
         if group_name == "_base_":
             continue
         attr = _GROUPS.get(group_name)
         if attr is None:
             raise KeyError(f"unknown config group {group_name!r}")
-        group = getattr(cfg, attr)
+        preferred = getattr(cfg, attr)
         for k, v in knobs.items():
+            group = preferred
             if not hasattr(group, k):
-                raise KeyError(f"{group_name} has no knob {k!r}")
+                group = next((g for g in all_groups if hasattr(g, k)), None)
+            if group is None:
+                raise KeyError(f"no config group has knob {k!r}")
             if k == "kplanes_config" and isinstance(v, dict):
                 v = KPlanesConfig(
                     **{kk: tuple(vv) if kk == "resolution" else vv

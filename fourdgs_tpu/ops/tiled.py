@@ -91,6 +91,13 @@ def blend_tiles(
     n_chunks = max(L // chunk, 1)
     assert L % chunk == 0, "tile budget must be a multiple of chunk"
 
+    # Rematerialized per-chunk step: without this, autodiff saves every
+    # [T, chunk, 256] intermediate (alpha, cumprods, weights) for backward —
+    # tens of GB at production scale. With remat, backward recomputes the
+    # chunk forward from the (small) payload slices + carry, the same
+    # recompute-from-saved-state strategy as the reference CUDA backward
+    # (backward.cu:398-557 re-walks the tile list from final_T).
+    @jax.checkpoint
     def step(carry, xs):
         T_carry, col, dep = carry
         xy, conic, rgb, z, op, m = xs

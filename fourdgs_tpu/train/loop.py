@@ -172,6 +172,7 @@ def scene_reconstruction(
     log_interval: int = 50,
     log_fn: Callable | None = None,
     max_sh_degree: int | None = None,
+    extra_log_iters: frozenset | set = frozenset(),
 ) -> tuple[GaussianState, adam.AdamState, TrainLog]:
     """Train one stage (coarse or fine). Returns updated state + optimizer.
 
@@ -198,7 +199,8 @@ def scene_reconstruction(
         cams = [c for c in cams if abs(c[0].time - t0) < 1e-9]
 
     cam_arrays = [CameraArrays.from_camera(c) for c, _ in cams]
-    gt_list = [np.asarray(g) for _, g in cams]  # uint8 HWC or float CHW
+    # uint8 HWC, float CHW, or lazy callables (data.dynerf.ImageRef)
+    gt_list = [g if callable(g) else np.asarray(g) for _, g in cams]
 
     densify_fn, prune_fn, reset_fn = make_maintenance(cfg)
     train_steps: dict[int, Callable] = {}
@@ -224,7 +226,10 @@ def scene_reconstruction(
         batch_cams = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[cam_arrays[i] for i in batch_idx]
         )
-        gts_np = np.stack([gt_list[i] for i in batch_idx])
+        gts_np = np.stack([
+            g() if callable(g) else g
+            for g in (gt_list[i] for i in batch_idx)
+        ])
         if gts_np.dtype == np.uint8:
             # loader keeps uint8 [H,W,3]; normalize + CHW on device
             gts = jnp.asarray(gts_np).astype(jnp.float32).transpose(0, 3, 1, 2) / 255.0
@@ -293,7 +298,8 @@ def scene_reconstruction(
         if timer:
             timer.end_timer(f"{stage}_densification")
 
-        if iteration % log_interval == 0 or iteration == train_iter:
+        if (iteration % log_interval == 0 or iteration == train_iter
+                or iteration in extra_log_iters):
             if timer:
                 timer.start_timer(f"{stage}_logging")
             m = {k: float(v) for k, v in metrics.items()}
@@ -308,7 +314,7 @@ def scene_reconstruction(
                     ema_loss=log.ema_loss, ema_psnr=log.ema_psnr,
                 )
             if log_fn:
-                log_fn(iteration, stage, m)
+                log_fn(iteration, stage, m, state, adam_state)
             if np.isnan(m["loss"]):
                 # NaN watchdog (train.py:263-265) — surface it, don't re-exec.
                 raise FloatingPointError(
