@@ -41,7 +41,7 @@ def build_workload(height=800, width=800, n_points=60_000, capacity=65_536,
     # dnerf-shaped config (arguments/dnerf/dnerf_default.py: net_width 64,
     # defor_depth 1 default, multires [1,2], no_do/no_dshs True)
     cfg.tpu.capacity = capacity
-    cfg.tpu.instance_budget = 1 << 21
+    cfg.tpu.instance_budget = 1 << 19
     cfg.tpu.tile_budget = 2048
     cfg.tpu.blend_chunk = 256
     cfg.hidden.multires = (1, 2)
@@ -50,6 +50,7 @@ def build_workload(height=800, width=800, n_points=60_000, capacity=65_536,
     cfg.hidden.no_dx = False
     cfg.model.sh_degree = 3
     cfg.opt.batch_size = batch
+    cfg.tpu.backend = "pallas"
 
     rng = np.random.default_rng(seed)
     pts = rng.uniform(-1.2, 1.2, (n_points, 3)).astype(np.float32)
@@ -97,14 +98,15 @@ def main():
         params, adam_state, state, metrics = step(
             params, adam_state, state, batch_cams, gts, i + 1
         )
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])  # true host sync (block_until_ready can be
+    # a no-op on remote-attached backends)
 
     t0 = time.time()
     for i in range(iters):
         params, adam_state, state, metrics = step(
             params, adam_state, state, batch_cams, gts, warmup + i + 1
         )
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(metrics["loss"])  # host sync
     dt = time.time() - t0
 
     px_per_s = height * width * batch * iters / dt
@@ -116,7 +118,7 @@ def main():
     }))
     print(
         f"# {iters} steps in {dt:.3f}s = {iters/dt:.2f} it/s "
-        f"({px_per_s/1e6:.2f} Mpx/s), loss={float(metrics['loss']):.4f}",
+        f"({px_per_s/1e6:.2f} Mpx/s), loss={final_loss:.4f}",
         file=sys.stderr,
     )
 

@@ -143,8 +143,11 @@ class TpuParams:
     instance_budget: int = 1 << 21
     tile_budget: int = 4096
     blend_chunk: int = 256
-    # Rasterizer backend: "tile" (production) | "reference" (oracle).
-    backend: str = "tile"
+    # Rasterizer backend: "pallas" (production TPU kernels) | "tile"
+    # (pure-JAX tiled fallback) | "reference" (whole-image oracle).
+    backend: str = "pallas"
+    # Run Pallas kernels under the interpreter (CPU CI / debugging).
+    pallas_interpret: bool = False
     # Mesh axes for multi-chip training: cameras over 'data', primitive/tile
     # work over 'model' (SURVEY.md §2.7).
     mesh_data: int = 1

@@ -1,0 +1,160 @@
+"""Production rasterizer: preprocess → fast binning → Pallas tile blend.
+
+The TPU-native counterpart of the full CUDA pipeline
+(rasterizer_impl.cu:198-437) with the same public contract as
+fourdgs_tpu.ops.tiled.rasterize_tiled, but:
+
+- binning uses the single-key depth-presorted sort (ops.binning.bin_gaussians_fast)
+- per-tile instance ranges are padded to CHUNK alignment so the Pallas
+  kernels' DMA slices are lane-aligned and no two tiles share a chunk
+- the blend runs as Pallas kernels over a flat attribute-major [16, K_pad]
+  payload (ops.pallas_blend) — work ∝ actual instance count, custom VJP,
+  no padded per-tile gathers
+- gradients flow: blend VJP → per-instance dfeat → (select-gated) payload
+  construction autodiff → deterministic segment-sum scatter to per-Gaussian
+  arrays → preprocess autodiff. This replaces CUDA's atomicAdd accumulation
+  (backward.cu:523-554) with a reproducible reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fourdgs_tpu.ops import constants as C
+from fourdgs_tpu.ops import pallas_blend as PB
+from fourdgs_tpu.ops.binning import bin_gaussians_fast
+from fourdgs_tpu.ops.preprocess import preprocess
+from fourdgs_tpu.ops.tiled import TiledRasterOut
+
+
+def rasterize_pallas(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: jnp.ndarray,
+    camera_center: jnp.ndarray,
+    world_view: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    tanfovx,
+    tanfovy,
+    width: int,
+    height: int,
+    sh_degree: int,
+    bg: jnp.ndarray,
+    instance_budget: int,
+    colors_precomp: jnp.ndarray | None = None,
+    cov3d_precomp: jnp.ndarray | None = None,
+    means2d_offset: jnp.ndarray | None = None,
+    alive: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> TiledRasterOut:
+    """Render one camera through the Pallas pipeline (differentiable).
+
+    ``interpret=True`` runs the kernels under the Pallas interpreter (CPU CI).
+    """
+    opac = opacities.reshape(-1)
+    pre = preprocess(
+        means3d, scales, rotations, shs,
+        camera_center, world_view, full_proj,
+        tanfovx, tanfovy, width, height, sh_degree,
+        cov3d_precomp=cov3d_precomp, colors_precomp=colors_precomp,
+        alive=alive,
+    )
+    means2d = pre.means2d
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+
+    grid_x = (width + C.TILE_X - 1) // C.TILE_X
+    grid_y = (height + C.TILE_Y - 1) // C.TILE_Y
+    T = grid_x * grid_y
+    K = instance_budget
+    CH = PB.CHUNK
+    # K is the budget of the CHUNK-aligned layout itself: the per-tile
+    # alignment padding (< CHUNK per nonempty tile) eats into it alongside
+    # the real instances, and overflow clamps exactly like the unpadded
+    # budget (num_rendered reports the true demand for budget growth).
+    k_pad = K
+
+    bins = bin_gaussians_fast(
+        jax.lax.stop_gradient(pre.tile_min),
+        jax.lax.stop_gradient(pre.tile_max),
+        jax.lax.stop_gradient(pre.tiles_touched),
+        pre.depths,
+        grid_x, grid_y, K,
+    )
+
+    # CHUNK-aligned per-tile ranges: tile t owns [astart[t], astart[t]+alen[t])
+    # in the padded layout, alen rounded up to CHUNK, clamped to k_pad.
+    tile_len = bins.tile_stop - bins.tile_start           # [T]
+    alen = ((tile_len + CH - 1) // CH) * CH
+    acum = jnp.minimum(jnp.cumsum(alen), k_pad)
+    astart = jnp.minimum(acum - alen, k_pad)
+    alen = acum - astart
+    tile_len = jnp.minimum(tile_len, alen)
+
+    # padded slot q ← source instance slot (or invalid padding). Tile index
+    # per slot via scatter+cumsum (searchsorted is a serial loop on TPU).
+    q = jnp.arange(k_pad, dtype=jnp.int32)
+    head = jnp.zeros((k_pad,), jnp.int32).at[
+        jnp.where(alen > 0, astart, k_pad)
+    ].add(1, mode="drop")
+    t_q = jnp.cumsum(head) - 1
+    t_qc = jnp.clip(t_q, 0, T - 1)
+    within = q - jnp.take(astart, t_qc)
+    src = jnp.take(bins.tile_start, t_qc) + within
+    valid_q = (
+        (t_q >= 0)
+        & (q < acum[-1])
+        & (within < jnp.take(tile_len, t_qc))
+        & (src < K)
+    )
+    src_c = jnp.where(valid_q, src, 0)
+    gid = jnp.take(bins.gauss_id, src_c)
+
+    # One packed per-Gaussian attribute table [P, 16] → ONE row gather into
+    # the attribute-major payload [16, K_pad]. Select-gating masks padding
+    # slots in the forward AND blocks garbage cotangents from unwritten
+    # dfeat regions in the backward (select, not multiply — NaN-safe).
+    P_n = means3d.shape[0]
+    table = jnp.concatenate(
+        [
+            means2d,
+            pre.conic,
+            opac[:, None],
+            pre.rgb,
+            pre.depths[:, None],
+            jnp.zeros((P_n, PB.FEAT_ROWS - 10), jnp.float32),
+        ],
+        axis=1,
+    )  # [P, 16]
+    rows = jnp.take(table, gid, axis=0)            # [K_pad, 16]
+    rows = jnp.where(valid_q[:, None], rows, 0.0)
+    feat = rows.T
+
+    out = PB.blend_pallas(
+        feat, astart, tile_len, grid_x, T, k_pad, interpret
+    )  # [T, 256, 8]
+
+    col = out[:, :, 0:3]
+    dep = out[:, :, 3:4]
+    t_fin = out[:, :, 4:5]
+    col = col + t_fin * bg[None, None, :]
+
+    def untile(x, ch):  # x [T, 256, ch] → [ch, H, W]
+        img = x.reshape(grid_y, grid_x, C.TILE_Y, C.TILE_X, ch)
+        img = img.transpose(4, 0, 2, 1, 3).reshape(
+            ch, grid_y * C.TILE_Y, grid_x * C.TILE_X
+        )
+        return img[:, :height, :width]
+
+    return TiledRasterOut(
+        color=untile(col, 3),
+        depth=untile(dep, 1),
+        alpha=untile(1.0 - t_fin, 1),
+        radii=pre.radii,
+        means2d=pre.means2d,
+        num_rendered=bins.num_rendered,
+        max_tile_len=jnp.max(tile_len).astype(jnp.int32),
+    )

@@ -107,6 +107,34 @@ def render(
     opacity_act = jax.nn.sigmoid(opacity)
 
     backend = backend or cfg.tpu.backend
+    if backend == "pallas":
+        from fourdgs_tpu.ops.rasterize import rasterize_pallas
+
+        # Mosaic kernels need a TPU; fall back to the interpreter on CPU
+        # hosts (tests, dry runs) automatically.
+        interpret = cfg.tpu.pallas_interpret or jax.default_backend() == "cpu"
+
+        out = rasterize_pallas(
+            xyz, scales_act, rot_act, opacity_act, shs,
+            camera_center=cam.camera_center,
+            world_view=cam.world_view,
+            full_proj=cam.full_proj,
+            tanfovx=cam.tanfovx,
+            tanfovy=cam.tanfovy,
+            width=width,
+            height=height,
+            sh_degree=active_sh_degree,
+            bg=bg,
+            means2d_offset=means2d_offset,
+            instance_budget=cfg.tpu.instance_budget,
+            alive=state.alive,
+            interpret=interpret,
+        )
+        return RenderOut(
+            color=out.color, depth=out.depth, alpha=out.alpha,
+            radii=out.radii, num_rendered=out.num_rendered,
+            max_tile_len=out.max_tile_len, dxyz_abs=dxyz_abs,
+        )
     common = dict(
         camera_center=cam.camera_center,
         world_view=cam.world_view,

@@ -25,6 +25,7 @@ from tests.test_math_core import look_at_camera
 
 def tiny_cfg(capacity=256):
     cfg = load_config()
+    cfg.tpu.backend = "tile"  # interpret-mode pallas is too slow for 150-iter CI
     cfg.tpu.capacity = capacity
     cfg.tpu.instance_budget = 8192
     cfg.tpu.tile_budget = 256
