@@ -45,7 +45,7 @@ from fourdgs_tpu.utils.timer import DetailedTimer
 
 def make_train_step(
     cfg: Config, width: int, height: int, stage: str, active_sh_degree: int,
-    spatial_lr_scale: float = 1.0,
+    spatial_lr_scale: float = 1.0, track_grads: bool = False,
 ) -> Callable:
     """Build the jitted train step for a (resolution, stage, sh_degree).
 
@@ -65,7 +65,18 @@ def make_train_step(
             )
             return out.color, (out.radii, out.num_rendered, out.max_tile_len,
                                out.dxyz_abs)
-        colors, aux = jax.vmap(render_one, in_axes=(0, 0))(cams, carrier)
+        # Unrolled loop over the (small, static) camera batch rather than
+        # vmap: batch sizes are 1-4 (reference configs), the reference itself
+        # renders the micro-batch sequentially (train.py:197-209), and
+        # keeping the Pallas custom_vjp out of vmap keeps XLA compile times
+        # sane on the remote-compile TPU path.
+        B = gts.shape[0]
+        per_cam = [
+            render_one(jax.tree.map(lambda x: x[i], cams), carrier[i])
+            for i in range(B)
+        ]
+        colors = jnp.stack([c for c, _ in per_cam])
+        aux = jax.tree.map(lambda *xs: jnp.stack(xs), *[a for _, a in per_cam])
         gts = gts[:, :3]
         l1 = losses.l1_loss(colors, gts)
         loss = l1
@@ -111,6 +122,11 @@ def make_train_step(
             "max_tile_len": jnp.max(tile_len_b),
             "n_points": G.count_alive(state),
         }
+        if track_grads:
+            from fourdgs_tpu.utils.gradient_tracker import compute_grad_stats
+
+            metrics["grad_stats"] = compute_grad_stats(g_params)
+            metrics["vs_grad_norm"] = jnp.linalg.norm(vs_grad, axis=-1)
         return new_params, new_adam, state, metrics
 
     return train_step
@@ -173,6 +189,7 @@ def scene_reconstruction(
     log_fn: Callable | None = None,
     max_sh_degree: int | None = None,
     extra_log_iters: frozenset | set = frozenset(),
+    gradient_tracker=None,
 ) -> tuple[GaussianState, adam.AdamState, TrainLog]:
     """Train one stage (coarse or fine). Returns updated state + optimizer.
 
@@ -244,10 +261,18 @@ def scene_reconstruction(
             train_steps[sh_deg] = make_train_step(
                 cfg, width, height, stage, sh_deg,
                 spatial_lr_scale=float(state.spatial_lr_scale),
+                track_grads=gradient_tracker is not None,
             )
         adam_state, state, metrics = _run_step(
             train_steps[sh_deg], state, adam_state, batch_cams, gts, iteration
         )
+        if gradient_tracker is not None:
+            grad_stats = metrics.pop("grad_stats", None)
+            metrics.pop("vs_grad_norm", None)
+            if iteration % gradient_tracker.record_interval == 0:
+                gradient_tracker.record(
+                    iteration, stage, jax.tree.map(float, grad_stats)
+                )
         if timer:
             timer.end_timer(f"{stage}_render")
             timer.start_timer(f"{stage}_densification")
