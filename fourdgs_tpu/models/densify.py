@@ -225,6 +225,55 @@ def prune(
     return state._replace(alive=state.alive & ~mask), n_pruned
 
 
+def grow(
+    key: jax.Array,
+    state: GaussianState,
+    moments: tuple,
+    density_threshold: float = 5.0,
+    displacement_scale: float = 5.0,
+):
+    """Density-based point growth (the --add_point path).
+
+    Parity: gaussians.grow → utils/point_utils.upsample_point_cloud
+    (point_utils.py:9-130, hooked at train.py:367-368): points whose nearest
+    neighbor is farther than ``density_threshold`` spawn a displaced copy
+    (gaussian noise · displacement_scale), filtered to the deformation AABB,
+    written into free slots with zeroed Adam moments.
+    """
+    from fourdgs_tpu.ops.knn import mean_sq_dist_3nn
+
+    cap = state.alive.shape[0]
+    xyz = state.params["xyz"]
+    # nearest-neighbor distance; dead slots pushed far away so they never
+    # register as neighbors or candidates
+    far = jnp.where(state.alive[:, None], xyz, 1e6)
+    nn_d = jnp.sqrt(jnp.maximum(mean_sq_dist_3nn(far), 0.0))
+    sel = (nn_d > density_threshold) & state.alive
+
+    noise = jax.random.normal(key, (cap, 3)) * displacement_scale
+    new_xyz = xyz + noise
+    in_aabb = jnp.all(
+        (new_xyz < state.aabb[0]) & (new_xyz > state.aabb[1]), axis=-1
+    )
+    sel = sel & in_aabb
+
+    free, n_free = _free_list(state.alive)
+    rank = jnp.cumsum(sel) - 1
+    dest = jnp.where(
+        sel & (rank < n_free), jnp.take(free, jnp.minimum(rank, cap - 1)), cap
+    )
+    params, moments = _scatter_copy(
+        state.params, moments, sel, dest, extra={"xyz": new_xyz}
+    )
+    alive = state.alive.at[dest].set(True, mode="drop")
+    table = state.deformation_table.at[dest].set(
+        jnp.where(sel, state.deformation_table, False), mode="drop"
+    )
+    n_new = jnp.sum((dest < cap).astype(jnp.int32))
+    state = state._replace(params=params, alive=alive, deformation_table=table)
+    return _postfix_reset(state), moments, n_new
+
+
 def reset_opacity(state: GaussianState, moments: tuple):
     """Clamp opacity to ≤ 0.01 and zero its Adam moments
     (gaussian_model.py:269-272 + replace_tensor_to_optimizer:316-329)."""
