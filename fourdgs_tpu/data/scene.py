@@ -64,6 +64,9 @@ def load_scene(cfg: Config, path: str | None = None) -> SceneData:
     if kind == "colmap":
         from fourdgs_tpu.data import colmap
         return colmap.load_colmap_scene(path, cfg)
+    if kind == "PanopticSports":
+        from fourdgs_tpu.data import panoptic
+        return panoptic.load_panoptic_scene(path, cfg)
     if kind == "MultipleView":
         from fourdgs_tpu.data import multipleview
         return multipleview.load_multipleview_scene(path, cfg)

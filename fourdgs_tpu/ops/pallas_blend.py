@@ -130,17 +130,18 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
             )
             cp.start()
             cp.wait()
-            alpha, _, _, _, _, _ = _chunk_alpha(buf, pxf, pyf, c * CHUNK, n)
+            cur = buf[:]
+            alpha, _, _, _, _, _ = _chunk_alpha(cur, pxf, pyf, c * CHUNK, n)
             one_minus = 1.0 - alpha
             p_incl = _prefix_prod(one_minus)                    # [256, CH]
             t_incl = T_v * p_incl
             t_excl = T_v * _shift_right(p_incl, 1, 1.0)
             contrib = t_incl >= C.T_STOP
             w = jnp.where(contrib, alpha * t_excl, 0.0)
-            r = buf[6:7, :]
-            g = buf[7:8, :]
-            b = buf[8:9, :]
-            z = buf[9:10, :]
+            r = cur[6:7, :]
+            g = cur[7:8, :]
+            b = cur[8:9, :]
+            z = cur[9:10, :]
             col_r = col_r + jnp.sum(w * r, axis=1, keepdims=True)
             col_g = col_g + jnp.sum(w * g, axis=1, keepdims=True)
             col_b = col_b + jnp.sum(w * b, axis=1, keepdims=True)

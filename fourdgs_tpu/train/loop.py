@@ -266,6 +266,27 @@ def scene_reconstruction(
         adam_state, state, metrics = _run_step(
             train_steps[sh_deg], state, adam_state, batch_cams, gts, iteration
         )
+
+        # Instance-budget growth: the TPU pipeline uses a static duplicated-
+        # instance budget; when demand approaches it, grow and recompile —
+        # the design replacement for CUDA's dynamic num_rendered allocation
+        # (SURVEY.md §7 hard parts). Checked on the densify cadence to avoid
+        # per-step host syncs.
+        if iteration % opt.densification_interval == 0:
+            demand = int(metrics["num_rendered"])
+            budget = cfg.tpu.instance_budget
+            if demand > 0.7 * budget:
+                new_budget = max(
+                    int(budget * 1.5), int(demand * 1.6)
+                )
+                new_budget = -(-new_budget // 65536) * 65536
+                cfg.tpu.instance_budget = new_budget
+                train_steps.clear()
+                if log_fn:
+                    print(
+                        f"[budget] instances {demand} > 70% of {budget}; "
+                        f"growing to {new_budget} (recompile)"
+                    )
         if gradient_tracker is not None:
             grad_stats = metrics.pop("grad_stats", None)
             metrics.pop("vs_grad_norm", None)

@@ -51,7 +51,8 @@ def compute_grad_stats(grads: dict) -> dict:
 
     out = {}
     for k in ("xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation"):
-        out[k] = stats_of([grads[k]])
+        if grads[k].size > 0:  # f_rest is empty when sh_degree == 0
+            out[k] = stats_of([grads[k]])
     deform = grads.get("deform", {})
     mlp_leaves, grid_leaves = [], []
     for k, v in deform.items():
