@@ -246,6 +246,13 @@ def load_config(path: str | pathlib.Path | None = None, **kw) -> Config:
         group = getattr(cfg, _GROUPS.get(group_attr, group_attr), None)
         if group is None or not hasattr(group, knob):
             raise KeyError(f"unknown config key {key!r}")
+        if knob == "kplanes_config" and isinstance(value, dict):
+            value = KPlanesConfig(
+                **{kk: tuple(vv) if kk == "resolution" else vv
+                   for kk, vv in value.items()}
+            )
+        elif isinstance(getattr(group, knob), tuple) and isinstance(value, list):
+            value = tuple(value)
         setattr(group, knob, value)
     return cfg
 

@@ -71,10 +71,15 @@ def _prefix_sum(x):
     return x
 
 
-def _pixel_coords(t, grid_x):
-    """Pixel-center coordinates of tile t: ([256,1], [256,1]) floats."""
+def _pixel_coords(t, grid_x, row_offset=0):
+    """Pixel-center coordinates of tile t: ([256,1], [256,1]) floats.
+
+    ``row_offset`` shifts the tile row — used by the tile-row-sharded
+    multi-chip path where each device rasterizes a horizontal slab of the
+    image but tile indices are slab-local (fourdgs_tpu.parallel.sp).
+    """
     tx = t % grid_x
-    ty = t // grid_x
+    ty = t // grid_x + row_offset
     sub = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
     pxf = (tx * C.TILE_X + sub % C.TILE_X).astype(jnp.float32)
     pyf = (ty * C.TILE_Y + sub // C.TILE_X).astype(jnp.float32)
@@ -111,11 +116,11 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
                  interpret: bool = False):
     """Forward pallas_call: (starts, lens, feat) → out [T, 256, 8]."""
 
-    def kernel(starts_ref, lens_ref, feat_ref, out_ref, buf, sem):
+    def kernel(starts_ref, lens_ref, row_ref, feat_ref, out_ref, buf, sem):
         t = pl.program_id(0)
         start = starts_ref[t]
         n = lens_ref[t]
-        pxf, pyf = _pixel_coords(t, grid_x)
+        pxf, pyf = _pixel_coords(t, grid_x, row_ref[0])
         n_chunks = pl.cdiv(n, CHUNK)
 
         def cond(carry):
@@ -167,7 +172,7 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -202,12 +207,12 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
       dL/dop    = exp(power)·dL/dα;  conic/mean grads via dpower.
     """
 
-    def kernel(starts_ref, lens_ref, feat_ref, outsv_ref, gout_ref,
+    def kernel(starts_ref, lens_ref, row_ref, feat_ref, outsv_ref, gout_ref,
                dfeat_ref, buf, dbuf, sem, wsem):
         t = pl.program_id(0)
         start = starts_ref[t]
         n = lens_ref[t]
-        pxf, pyf = _pixel_coords(t, grid_x)
+        pxf, pyf = _pixel_coords(t, grid_x, row_ref[0])
         n_chunks = pl.cdiv(n, CHUNK)
 
         c_tot_r = outsv_ref[0, :, 0:1]
@@ -297,7 +302,7 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
         jax.lax.fori_loop(0, n_chunks, body, init)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # feat
@@ -331,34 +336,33 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 # custom_vjp wrapper over (feat, starts, lens) → per-tile output blocks
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def blend_pallas(feat, starts, lens, grid_x: int, num_tiles: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def blend_pallas(feat, starts, lens, row_off, grid_x: int, num_tiles: int,
                  k_pad: int, interpret: bool = False):
-    """feat [16,K_pad], starts/lens [T] → out [T, 256, 8]."""
+    """feat [16,K_pad], starts/lens [T], row_off [1] → out [T, 256, 8]."""
     return make_forward(grid_x, num_tiles, k_pad, interpret)(
-        starts, lens, feat
+        starts, lens, row_off, feat
     )
 
 
-def _blend_fwd(feat, starts, lens, grid_x, num_tiles, k_pad,
+def _blend_fwd(feat, starts, lens, row_off, grid_x, num_tiles, k_pad,
                interpret=False):
     out = make_forward(grid_x, num_tiles, k_pad, interpret)(
-        starts, lens, feat
+        starts, lens, row_off, feat
     )
-    return out, (feat, starts, lens, out)
+    return out, (feat, starts, lens, row_off, out)
 
 
 def _blend_bwd(grid_x, num_tiles, k_pad, interpret, res, g_out):
     import numpy as np
 
-    feat, starts, lens, out = res
+    feat, starts, lens, row_off, out = res
     dfeat = make_backward(grid_x, num_tiles, k_pad, interpret)(
-        starts, lens, feat, out, g_out
+        starts, lens, row_off, feat, out, g_out
     )
     # integer operands carry symbolic-zero float0 cotangents
-    d_starts = np.zeros(starts.shape, dtype=jax.dtypes.float0)
-    d_lens = np.zeros(lens.shape, dtype=jax.dtypes.float0)
-    return dfeat, d_starts, d_lens
+    zero_of = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return dfeat, zero_of(starts), zero_of(lens), zero_of(row_off)
 
 
 blend_pallas.defvjp(_blend_fwd, _blend_bwd)

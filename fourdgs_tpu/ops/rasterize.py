@@ -49,6 +49,8 @@ def rasterize_pallas(
     means2d_offset: jnp.ndarray | None = None,
     alive: jnp.ndarray | None = None,
     interpret: bool = False,
+    tile_row_offset=0,
+    tile_rows: int | None = None,
 ) -> TiledRasterOut:
     """Render one camera through the Pallas pipeline (differentiable).
 
@@ -68,7 +70,6 @@ def rasterize_pallas(
 
     grid_x = (width + C.TILE_X - 1) // C.TILE_X
     grid_y = (height + C.TILE_Y - 1) // C.TILE_Y
-    T = grid_x * grid_y
     K = instance_budget
     CH = PB.CHUNK
     # K is the budget of the CHUNK-aligned layout itself: the per-tile
@@ -77,10 +78,31 @@ def rasterize_pallas(
     # budget (num_rendered reports the true demand for budget growth).
     k_pad = K
 
+    tile_min = jax.lax.stop_gradient(pre.tile_min)
+    tile_max = jax.lax.stop_gradient(pre.tile_max)
+    tiles_touched = jax.lax.stop_gradient(pre.tiles_touched)
+    if tile_rows is not None:
+        # Tile-row-sharded path (the SP/CP analog, SURVEY.md §2.7): this
+        # shard owns tile rows [offset, offset+tile_rows). Clip each
+        # Gaussian's rect to the slab in slab-local coordinates; everything
+        # downstream (binning, blend, output) is purely local — the only
+        # cross-device communication in the sharded train step is the
+        # parameter-gradient psum.
+        off = jnp.asarray(tile_row_offset, jnp.int32)
+        tmin_y = jnp.clip(tile_min[:, 1] - off, 0, tile_rows)
+        tmax_y = jnp.clip(tile_max[:, 1] - off, 0, tile_rows)
+        tile_min = jnp.stack([tile_min[:, 0], tmin_y], axis=-1)
+        tile_max = jnp.stack([tile_max[:, 0], tmax_y], axis=-1)
+        tiles_touched = jnp.where(
+            tmax_y > tmin_y,
+            (tile_max[:, 0] - tile_min[:, 0]) * (tmax_y - tmin_y),
+            0,
+        ).astype(jnp.int32)
+        grid_y = tile_rows
+    T = grid_x * grid_y
+
     bins = bin_gaussians_fast(
-        jax.lax.stop_gradient(pre.tile_min),
-        jax.lax.stop_gradient(pre.tile_max),
-        jax.lax.stop_gradient(pre.tiles_touched),
+        tile_min, tile_max, tiles_touched,
         pre.depths,
         grid_x, grid_y, K,
     )
@@ -134,7 +156,9 @@ def rasterize_pallas(
     feat = rows.T
 
     out = PB.blend_pallas(
-        feat, astart, tile_len, grid_x, T, k_pad, interpret
+        feat, astart, tile_len,
+        jnp.asarray([tile_row_offset], jnp.int32),
+        grid_x, T, k_pad, interpret,
     )  # [T, 256, 8]
 
     col = out[:, :, 0:3]

@@ -226,6 +226,29 @@ def scene_reconstruction(
     log = TrainLog()
     B = opt.batch_size
 
+    def draw_batch() -> list[int]:
+        # random pop without replacement, stack refilled (train.py:166-177)
+        nonlocal stack
+        idx = []
+        for _ in range(B):
+            if not stack:
+                stack = list(range(len(cams)))
+            idx.append(stack.pop(rng.randrange(len(stack))))
+        return idx
+
+    # Native prefetch (data.fastloader): when GT images are lazy path-backed
+    # refs, batch t+1 decodes on C++ threads while step t runs on the TPU —
+    # the reference's DataLoader num_workers role (train.py:91-94).
+    prefetcher = None
+    if gt_list and callable(gt_list[0]) and hasattr(gt_list[0], "path"):
+        from fourdgs_tpu.data.fastloader import PrefetchPool
+
+        prefetcher = PrefetchPool(n_threads=8)
+
+    pending_idx = draw_batch()
+    if prefetcher:
+        prefetcher.submit_batch([gt_list[i] for i in pending_idx])
+
     for iteration in range(1, train_iter + 1):
         if timer:
             timer.start_iteration(iteration)
@@ -234,19 +257,20 @@ def scene_reconstruction(
         if iteration % 1000 == 0:
             state = G.one_up_sh_degree(state, max_sh)
 
-        # camera batch: random pop without replacement, stack refilled
-        batch_idx = []
-        for _ in range(B):
-            if not stack:
-                stack = list(range(len(cams)))
-            batch_idx.append(stack.pop(rng.randrange(len(stack))))
+        batch_idx = pending_idx
+        if prefetcher:
+            gts_np = prefetcher.wait_batch()
+        else:
+            gts_np = np.stack([
+                g() if callable(g) else g
+                for g in (gt_list[i] for i in batch_idx)
+            ])
         batch_cams = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[cam_arrays[i] for i in batch_idx]
         )
-        gts_np = np.stack([
-            g() if callable(g) else g
-            for g in (gt_list[i] for i in batch_idx)
-        ])
+        pending_idx = draw_batch()
+        if prefetcher:
+            prefetcher.submit_batch([gt_list[i] for i in pending_idx])
         if gts_np.dtype == np.uint8:
             # loader keeps uint8 [H,W,3]; normalize + CHW on device
             gts = jnp.asarray(gts_np).astype(jnp.float32).transpose(0, 3, 1, 2) / 255.0

@@ -91,12 +91,66 @@ def main(argv=None):
 
     cams = [(lc.camera, lc.image) for lc in scene.data.train_cameras]
 
+    # -- in-training eval (training_report parity, reference train.py:488-538)
+    from fourdgs_tpu.render import CameraArrays, render as render_fn
+    from fourdgs_tpu.utils import losses as loss_lib
+    import jax.numpy as jnp
+
+    eval_cache = {}
+
+    def run_eval(iteration, stage, cur_state):
+        """PSNR/L1 over strided test + train cameras (≤5 each per split)."""
+        bg = jnp.array([1.0, 1.0, 1.0] if cfg.model.white_background
+                       else [0.0, 0.0, 0.0])
+        report = {}
+        splits = {
+            "test": scene.data.test_cameras[::max(len(scene.data.test_cameras) // 5, 1)][:5],
+            "train": scene.data.train_cameras[::max(len(scene.data.train_cameras) // 5, 1)][:5],
+        }
+        for split, lcs in splits.items():
+            if not lcs:
+                continue
+            l1s, psnrs = [], []
+            for lc in lcs:
+                w, h = lc.camera.width, lc.camera.height
+                key = (stage, w, h, int(cur_state.active_sh_degree))
+                if key not in eval_cache:
+                    def make(stage=stage, w=w, h=h,
+                             sh=int(cur_state.active_sh_degree)):
+                        def f(params, state, cam):
+                            return render_fn(
+                                params, state, cam, cfg, w, h, stage, bg, sh
+                            ).color
+                        return jax.jit(f)
+                    eval_cache[key] = make()
+                color = eval_cache[key](
+                    cur_state.params, cur_state,
+                    CameraArrays.from_camera(lc.camera),
+                )
+                gt = np.asarray(lc.image() if callable(lc.image) else lc.image)
+                if gt.dtype == np.uint8:
+                    gt = gt.astype(np.float32).transpose(2, 0, 1) / 255.0
+                gt = jnp.asarray(gt[:3])
+                l1s.append(float(loss_lib.l1_loss(color, gt)))
+                psnrs.append(float(loss_lib.psnr(color[None], gt[None])[0]))
+            report[split] = {"l1": float(np.mean(l1s)),
+                             "psnr": float(np.mean(psnrs))}
+            print(f"[ITER {iteration}] eval {stage}/{split}: "
+                  f"L1 {report[split]['l1']:.5f} "
+                  f"PSNR {report[split]['psnr']:.2f}")
+        path = os.path.join(model_path, "eval_log.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps({"iteration": iteration, "stage": stage,
+                                **report}) + "\n")
+
     def log_fn(iteration, stage, m, cur_state, cur_adam):
         if not args.quiet:
             print(
                 f"[{stage} {iteration:6d}] loss={m['loss']:.5f} "
                 f"psnr={m['psnr']:.2f} points={int(m['n_points'])}"
             )
+        if iteration in args.test_iterations:
+            run_eval(iteration, stage, cur_state)
         if iteration in args.save_iterations:
             checkpoint.save_snapshot(model_path, cur_state, iteration, stage)
         if iteration in args.checkpoint_iterations:
