@@ -226,10 +226,31 @@ def scene_reconstruction(
     log = TrainLog()
     B = opt.batch_size
 
+    # FineSampler (utils/loader_utils.py:23-52): temporally-correlated epoch
+    # ordering with replay, for camera-major multi-view video datasets
+    # (opt.custom_sampler, train.py:96-100). n_poses inferred from distinct
+    # camera centers.
+    fine_order: list[int] = []
+    use_fine = opt.custom_sampler in ("fine", "FineSampler", True)
+    n_poses = 0
+    if use_fine:
+        centers = {tuple(np.round(c.camera_center, 5)) for c, _ in cams}
+        n_poses = max(len(centers), 1)
+        use_fine = len(cams) % n_poses == 0 and n_poses < len(cams)
+
     def draw_batch() -> list[int]:
-        # random pop without replacement, stack refilled (train.py:166-177)
-        nonlocal stack
+        nonlocal stack, fine_order
         idx = []
+        if use_fine:
+            from fourdgs_tpu.data.samplers import fine_sampler_order
+
+            for _ in range(B):
+                if not fine_order:
+                    fine_order = fine_sampler_order(len(cams), n_poses, rng)
+                idx.append(fine_order.pop(0))
+            return idx
+        # default: random pop without replacement, stack refilled
+        # (train.py:166-177)
         for _ in range(B):
             if not stack:
                 stack = list(range(len(cams)))
