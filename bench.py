@@ -51,6 +51,7 @@ def build_workload(height=800, width=800, n_points=60_000, capacity=65_536,
     cfg.model.sh_degree = 3
     cfg.opt.batch_size = batch
     cfg.tpu.backend = "pallas"
+    cfg.tpu.payload_bf16 = True  # f32 math, bf16 splat payload (documented mode)
 
     rng = np.random.default_rng(seed)
     pts = rng.uniform(-1.2, 1.2, (n_points, 3)).astype(np.float32)

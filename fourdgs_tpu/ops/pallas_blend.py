@@ -113,8 +113,11 @@ def _chunk_alpha(buf, pxf, pyf, idx_base, n):
 
 
 def make_forward(grid_x: int, num_tiles: int, k_pad: int,
-                 interpret: bool = False):
-    """Forward pallas_call: (starts, lens, feat) → out [T, 256, 8]."""
+                 interpret: bool = False, feat_dtype=jnp.float32):
+    """Forward pallas_call: (starts, lens, feat) → out [T, 256, 8].
+
+    ``feat_dtype`` may be bfloat16: payload DMA/gather bytes halve; all
+    in-kernel math stays float32 (upcast after load)."""
 
     def kernel(starts_ref, lens_ref, row_ref, feat_ref, out_ref, buf, sem):
         t = pl.program_id(0)
@@ -135,7 +138,7 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
             )
             cp.start()
             cp.wait()
-            cur = buf[:]
+            cur = buf[:].astype(jnp.float32)
             alpha, _, _, _, _, _ = _chunk_alpha(cur, pxf, pyf, c * CHUNK, n)
             one_minus = 1.0 - alpha
             p_incl = _prefix_prod(one_minus)                    # [256, CH]
@@ -180,7 +183,7 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((FEAT_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((FEAT_ROWS, CHUNK), feat_dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -195,7 +198,7 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
 
 
 def make_backward(grid_x: int, num_tiles: int, k_pad: int,
-                  interpret: bool = False):
+                  interpret: bool = False, feat_dtype=jnp.float32):
     """Backward pallas_call: cotangents + saved outputs → per-instance grads.
 
     dα math (matches backward.cu:442-522 + the background/alpha term):
@@ -234,8 +237,9 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
             )
             cp.start()
             cp.wait()
+            fbuf = buf[:].astype(jnp.float32)
             alpha, alpha_raw, exp_power, keep, dx, dy = _chunk_alpha(
-                buf, pxf, pyf, c * CHUNK, n
+                fbuf, pxf, pyf, c * CHUNK, n
             )
             one_minus = 1.0 - alpha
             p_incl = _prefix_prod(one_minus)
@@ -244,10 +248,10 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
             contrib = t_incl >= C.T_STOP
             w = jnp.where(contrib, alpha * t_excl, 0.0)   # [256, CH]
 
-            r = buf[6:7, :]
-            g = buf[7:8, :]
-            b = buf[8:9, :]
-            z = buf[9:10, :]
+            r = fbuf[6:7, :]
+            g = fbuf[7:8, :]
+            b = fbuf[8:9, :]
+            z = fbuf[9:10, :]
             pw_r = _prefix_sum(w * r) + a_r
             pw_g = _prefix_sum(w * g) + a_g
             pw_b = _prefix_sum(w * b) + a_b
@@ -266,9 +270,9 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
             # skipped instances get no gradient (CUDA re-applies skip gates)
             dalpha_px = jnp.where(contrib & keep, dalpha_px, 0.0)
             dpower_px = alpha_raw * dalpha_px
-            ca = buf[2:3, :]
-            cb = buf[3:4, :]
-            cc = buf[4:5, :]
+            ca = fbuf[2:3, :]
+            cb = fbuf[3:4, :]
+            cc = fbuf[4:5, :]
             d_op = jnp.sum(exp_power * dalpha_px, axis=0, keepdims=True)
             d_a = jnp.sum(-0.5 * dx * dx * dpower_px, axis=0, keepdims=True)
             d_b = jnp.sum(-dx * dy * dpower_px, axis=0, keepdims=True)
@@ -317,7 +321,7 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dfeat [16, K_pad]
         scratch_shapes=[
-            pltpu.VMEM((FEAT_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((FEAT_ROWS, CHUNK), feat_dtype),
             pltpu.VMEM((FEAT_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -340,14 +344,14 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 def blend_pallas(feat, starts, lens, row_off, grid_x: int, num_tiles: int,
                  k_pad: int, interpret: bool = False):
     """feat [16,K_pad], starts/lens [T], row_off [1] → out [T, 256, 8]."""
-    return make_forward(grid_x, num_tiles, k_pad, interpret)(
+    return make_forward(grid_x, num_tiles, k_pad, interpret, feat.dtype)(
         starts, lens, row_off, feat
     )
 
 
 def _blend_fwd(feat, starts, lens, row_off, grid_x, num_tiles, k_pad,
                interpret=False):
-    out = make_forward(grid_x, num_tiles, k_pad, interpret)(
+    out = make_forward(grid_x, num_tiles, k_pad, interpret, feat.dtype)(
         starts, lens, row_off, feat
     )
     return out, (feat, starts, lens, row_off, out)
@@ -357,9 +361,11 @@ def _blend_bwd(grid_x, num_tiles, k_pad, interpret, res, g_out):
     import numpy as np
 
     feat, starts, lens, row_off, out = res
-    dfeat = make_backward(grid_x, num_tiles, k_pad, interpret)(
+    dfeat = make_backward(grid_x, num_tiles, k_pad, interpret, feat.dtype)(
         starts, lens, row_off, feat, out, g_out
     )
+    # cotangent dtype must match the primal (bf16 payload mode)
+    dfeat = dfeat.astype(feat.dtype)
     # integer operands carry symbolic-zero float0 cotangents
     zero_of = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return dfeat, zero_of(starts), zero_of(lens), zero_of(row_off)

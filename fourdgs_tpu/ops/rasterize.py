@@ -51,6 +51,7 @@ def rasterize_pallas(
     interpret: bool = False,
     tile_row_offset=0,
     tile_rows: int | None = None,
+    payload_dtype=jnp.float32,
 ) -> TiledRasterOut:
     """Render one camera through the Pallas pipeline (differentiable).
 
@@ -151,6 +152,7 @@ def rasterize_pallas(
         ],
         axis=1,
     )  # [P, 16]
+    table = table.astype(payload_dtype)  # optional bf16: halves gather+DMA
     rows = jnp.take(table, gid, axis=0)            # [K_pad, 16]
     rows = jnp.where(valid_q[:, None], rows, 0.0)
     feat = rows.T

@@ -129,6 +129,8 @@ def render(
             instance_budget=cfg.tpu.instance_budget,
             alive=state.alive,
             interpret=interpret,
+            payload_dtype=(jnp.bfloat16 if cfg.tpu.payload_bf16
+                           else jnp.float32),
         )
         return RenderOut(
             color=out.color, depth=out.depth, alpha=out.alpha,
