@@ -3,23 +3,29 @@
 TPU-native replacement for the CUDA forward/backward render kernels
 (reference cuda_rasterizer/forward.cu:261-409, backward.cu:398-557). Design:
 
-- The binning stage leaves a **flat, depth-sorted, tile-grouped payload**
-  ``feat [16, K_pad]`` (attribute-major) in HBM. Every tile's range starts at
-  a CHUNK-aligned offset (ranges padded during binning) so each DMA slice is
-  lane-aligned, and tiles never share a chunk — backward writes are free of
-  cross-tile clobbering without atomics or read-modify-write.
+- The binning stage leaves a **flat, depth-sorted, tile-grouped COMPACT
+  payload** ``feat [16, K]`` (attribute-major) in HBM. Tile t owns instances
+  [start_t, stop_t) with **no alignment padding** — the payload, and with it
+  every per-instance XLA op (sort, gather, gradient scatter), is sized by the
+  true instance demand, not a chunk-padded layout. The kernels instead DMA
+  CHUNK-aligned *windows* [⌊start/CHUNK⌋·CHUNK, stop) and mask the out-of-range
+  lanes, trading a few masked lanes per tile for a ~1.5× smaller payload.
 - The forward kernel runs a 1-D grid over tiles. Each program DMAs its
-  instance slice in CHUNK-instance chunks, evaluates α for all 16×16 = 256
-  pixels at once (pixels on sublanes, instances on lanes), composes
-  transmittance with a Hillis-Steele prefix product along the lane axis (the
-  associative-scan form of the CUDA serial loop), and early-exits once every
-  pixel saturates (T < 1e-4, forward.cu:352-354). Work ∝ actual instance
-  counts — no padded-budget waste.
+  window in CHUNK-instance chunks, evaluates α for all 16×16 = 256 pixels at
+  once (pixels on sublanes, instances on lanes), composes transmittance with
+  a Hillis-Steele prefix product along the lane axis (the associative-scan
+  form of the CUDA serial loop), and early-exits once every pixel saturates
+  (T < 1e-4, forward.cu:352-354). Work ∝ actual instance counts.
 - The backward kernel re-walks the same chunks front-to-back, recovering the
   suffix sums S_i = C_total − prefix_i (the associative form of the CUDA
-  back-to-front accum_rec recurrence, backward.cu:442-522) and writes
-  per-instance gradients to a flat [16, K_pad] buffer; the deterministic
-  per-Gaussian reduction is a plain XLA segment-sum outside the kernel.
+  back-to-front accum_rec recurrence, backward.cu:442-522) and accumulates
+  per-instance gradients into a flat [16, K] buffer. Because a boundary chunk
+  is shared by two consecutive tiles, gradient chunks are accumulated
+  read-modify-write; the TPU grid is sequential (dimension_semantics
+  "arbitrary"), so this is race-free — the deterministic replacement for the
+  CUDA atomicAdd (backward.cu:523-554). The buffer is zero-initialised via
+  input/output aliasing, and per-Gaussian reduction is a plain XLA
+  scatter-add outside the kernel.
 
 feat rows (f32): 0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6:r 7:g 8:b
 9:depth 10..15:pad. Per-tile output block: [256 pixels, 8] with columns
@@ -41,7 +47,7 @@ from fourdgs_tpu.ops import constants as C
 N_PIX = C.TILE_X * C.TILE_Y  # 256
 FEAT_ROWS = 16
 OUT_COLS = 8
-CHUNK = 128  # instances per chunk == range alignment (lane-dim multiple)
+CHUNK = 128  # instances per chunk == DMA window alignment (lane-dim multiple)
 
 
 def _shift_right(x, s, fill):
@@ -86,9 +92,11 @@ def _pixel_coords(t, grid_x, row_offset=0):
     return pxf, pyf
 
 
-def _chunk_alpha(buf, pxf, pyf, idx_base, n):
+def _chunk_alpha(buf, pxf, pyf, off, start, stop):
     """α [256, CH] for one chunk (exact CUDA gating, forward.cu:340-354).
 
+    ``off`` is the chunk's global instance offset; lanes outside the tile's
+    [start, stop) range are masked (the window-alignment lanes).
     Returns (alpha_capped, alpha_raw, exp_power, keep, dx, dy).
     """
     x = buf[0:1, :]
@@ -104,27 +112,30 @@ def _chunk_alpha(buf, pxf, pyf, idx_base, n):
     alpha_raw = op * exp_power
     alpha = jnp.minimum(alpha_raw, C.ALPHA_CAP)
     lane = jax.lax.broadcasted_iota(jnp.int32, power.shape, 1)
+    g = off + lane
     keep = (
         (power <= 0.0)
         & (alpha >= C.ALPHA_FLOOR)
-        & ((idx_base + lane) < n)
+        & (g >= start)
+        & (g < stop)
     )
     return jnp.where(keep, alpha, 0.0), alpha_raw, exp_power, keep, dx, dy
 
 
 def make_forward(grid_x: int, num_tiles: int, k_pad: int,
                  interpret: bool = False, feat_dtype=jnp.float32):
-    """Forward pallas_call: (starts, lens, feat) → out [T, 256, 8].
+    """Forward pallas_call: (starts, stops, feat) → out [T, 256, 8].
 
     ``feat_dtype`` may be bfloat16: payload DMA/gather bytes halve; all
     in-kernel math stays float32 (upcast after load)."""
 
-    def kernel(starts_ref, lens_ref, row_ref, feat_ref, out_ref, buf, sem):
+    def kernel(starts_ref, stops_ref, row_ref, feat_ref, out_ref, buf, sem):
         t = pl.program_id(0)
         start = starts_ref[t]
-        n = lens_ref[t]
+        stop = stops_ref[t]
         pxf, pyf = _pixel_coords(t, grid_x, row_ref[0])
-        n_chunks = pl.cdiv(n, CHUNK)
+        off0 = (start // CHUNK) * CHUNK
+        n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
 
         def cond(carry):
             c, T_v, _, _, _, _ = carry
@@ -132,14 +143,16 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
 
         def body(carry):
             c, T_v, col_r, col_g, col_b, dep = carry
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            off = pl.multiple_of(off0 + c * CHUNK, CHUNK)
             cp = pltpu.make_async_copy(
                 feat_ref.at[:, pl.ds(off, CHUNK)], buf, sem
             )
             cp.start()
             cp.wait()
             cur = buf[:].astype(jnp.float32)
-            alpha, _, _, _, _, _ = _chunk_alpha(cur, pxf, pyf, c * CHUNK, n)
+            alpha, _, _, _, _, _ = _chunk_alpha(
+                cur, pxf, pyf, off, start, stop
+            )
             one_minus = 1.0 - alpha
             p_incl = _prefix_prod(one_minus)                    # [256, CH]
             t_incl = T_v * p_incl
@@ -208,15 +221,20 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
       with suffix sums S_i = C_total − Σ_{j≤i} c_j w_j.
       dL/dpower = α_raw · dL/dα  (uncapped, as the CUDA backward)
       dL/dop    = exp(power)·dL/dα;  conic/mean grads via dpower.
+
+    Boundary chunks shared between consecutive tiles are accumulated
+    read-modify-write against the zero-initialised aliased output.
     """
 
-    def kernel(starts_ref, lens_ref, row_ref, feat_ref, outsv_ref, gout_ref,
-               dfeat_ref, buf, dbuf, sem, wsem):
+    def kernel(starts_ref, stops_ref, row_ref, feat_ref, outsv_ref, gout_ref,
+               dzero_ref, dfeat_ref, buf, dbuf, sem, rsem, wsem):
+        del dzero_ref  # aliased with dfeat_ref; only the output ref is used
         t = pl.program_id(0)
         start = starts_ref[t]
-        n = lens_ref[t]
+        stop = stops_ref[t]
         pxf, pyf = _pixel_coords(t, grid_x, row_ref[0])
-        n_chunks = pl.cdiv(n, CHUNK)
+        off0 = (start // CHUNK) * CHUNK
+        n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
 
         c_tot_r = outsv_ref[0, :, 0:1]
         c_tot_g = outsv_ref[0, :, 1:2]
@@ -231,15 +249,20 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 
         def body(c, carry):
             T_v, a_r, a_g, a_b, a_d = carry
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            off = pl.multiple_of(off0 + c * CHUNK, CHUNK)
             cp = pltpu.make_async_copy(
                 feat_ref.at[:, pl.ds(off, CHUNK)], buf, sem
             )
             cp.start()
+            # overlap the payload read with the gradient-chunk read
+            rp = pltpu.make_async_copy(
+                dfeat_ref.at[:, pl.ds(off, CHUNK)], dbuf, rsem
+            )
+            rp.start()
             cp.wait()
             fbuf = buf[:].astype(jnp.float32)
             alpha, alpha_raw, exp_power, keep, dx, dy = _chunk_alpha(
-                fbuf, pxf, pyf, c * CHUNK, n
+                fbuf, pxf, pyf, off, start, stop
             )
             one_minus = 1.0 - alpha
             p_incl = _prefix_prod(one_minus)
@@ -286,9 +309,11 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
             d_b2 = jnp.sum(w * g_b, axis=0, keepdims=True)
             d_z = jnp.sum(w * g_d, axis=0, keepdims=True)
             zero = jnp.zeros_like(d_x)
-            dbuf[:, :] = jnp.concatenate(
+            grads = jnp.concatenate(
                 [d_x, d_y, d_a, d_b, d_c, d_op, d_r, d_g, d_b2, d_z,
                  zero, zero, zero, zero, zero, zero], axis=0)
+            rp.wait()
+            dbuf[:, :] = dbuf[:, :] + grads
             wp = pltpu.make_async_copy(
                 dbuf, dfeat_ref.at[:, pl.ds(off, CHUNK)], wsem
             )
@@ -318,11 +343,13 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
                 (1, N_PIX, OUT_COLS), lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),                                       # cotangents
+            pl.BlockSpec(memory_space=pltpu.ANY),    # dfeat zeros (aliased)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dfeat [16, K_pad]
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dfeat [16, K]
         scratch_shapes=[
             pltpu.VMEM((FEAT_ROWS, CHUNK), feat_dtype),
             pltpu.VMEM((FEAT_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -331,44 +358,53 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((FEAT_ROWS, k_pad), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),  # sequential grid: the RMW
+            # boundary-chunk accumulation relies on tile order
+        ),
+        # operand order: 3 prefetch scalars, feat, outsv, gout, dzeros → the
+        # zeros buffer (index 6) aliases the dfeat output so accumulation
+        # starts from zero
+        input_output_aliases={6: 0},
         interpret=interpret,
     )
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp wrapper over (feat, starts, lens) → per-tile output blocks
+# custom_vjp wrapper over (feat, starts, stops) → per-tile output blocks
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def blend_pallas(feat, starts, lens, row_off, grid_x: int, num_tiles: int,
+def blend_pallas(feat, starts, stops, row_off, grid_x: int, num_tiles: int,
                  k_pad: int, interpret: bool = False):
-    """feat [16,K_pad], starts/lens [T], row_off [1] → out [T, 256, 8]."""
+    """feat [16,K], starts/stops [T], row_off [1] → out [T, 256, 8]."""
     return make_forward(grid_x, num_tiles, k_pad, interpret, feat.dtype)(
-        starts, lens, row_off, feat
+        starts, stops, row_off, feat
     )
 
 
-def _blend_fwd(feat, starts, lens, row_off, grid_x, num_tiles, k_pad,
+def _blend_fwd(feat, starts, stops, row_off, grid_x, num_tiles, k_pad,
                interpret=False):
     out = make_forward(grid_x, num_tiles, k_pad, interpret, feat.dtype)(
-        starts, lens, row_off, feat
+        starts, stops, row_off, feat
     )
-    return out, (feat, starts, lens, row_off, out)
+    return out, (feat, starts, stops, row_off, out)
 
 
 def _blend_bwd(grid_x, num_tiles, k_pad, interpret, res, g_out):
     import numpy as np
 
-    feat, starts, lens, row_off, out = res
+    feat, starts, stops, row_off, out = res
+    dzero = jnp.zeros((FEAT_ROWS, k_pad), jnp.float32)
     dfeat = make_backward(grid_x, num_tiles, k_pad, interpret, feat.dtype)(
-        starts, lens, row_off, feat, out, g_out
+        starts, stops, row_off, feat, out, g_out, dzero
     )
     # cotangent dtype must match the primal (bf16 payload mode)
     dfeat = dfeat.astype(feat.dtype)
     # integer operands carry symbolic-zero float0 cotangents
     zero_of = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    return dfeat, zero_of(starts), zero_of(lens), zero_of(row_off)
+    return dfeat, zero_of(starts), zero_of(stops), zero_of(row_off)
 
 
 blend_pallas.defvjp(_blend_fwd, _blend_bwd)

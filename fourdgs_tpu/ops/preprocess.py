@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from fourdgs_tpu.ops import constants as C
@@ -107,6 +108,7 @@ def preprocess(
     cov3d_precomp: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
     alive: jnp.ndarray | None = None,
+    opacities: jnp.ndarray | None = None,
 ) -> PreprocessOut:
     """Vectorized forward preprocess over all P Gaussians.
 
@@ -116,6 +118,18 @@ def preprocess(
     ``width``/``height`` must be static Python ints (they fix tile-grid
     shapes); matrices/fov are traced arrays so one compiled program serves all
     cameras of a given resolution.
+
+    ``opacities`` (activated, [P]) enables **exact-safe tight tile rects**: a
+    pixel contributes only if α = op·exp(-½ dᵀ·conic·d) ≥ 1/255
+    (forward.cu:346-349), so every contributing pixel lies inside the ellipse
+    {d : ½·dᵀ·conic·d ≤ ln(255·op)} whose axis-aligned extents are
+    eₓ = √(2·ln(255·op)·cov_xx), e_y = √(2·ln(255·op)·cov_yy). Binning rects
+    from this box are strictly tighter than the CUDA 3σ square
+    (forward.cu:229-237) yet drop only zero-contribution instances, so the
+    rendered image and all gradients are unchanged while the duplicated
+    instance count (and thus sort/gather/blend work) shrinks ~2-4×.
+    ``radii`` and the alive/visibility semantics still follow the reference's
+    3σ square so densification statistics count the same Gaussians.
     """
     focal_y = height / (2.0 * tanfovy)
     focal_x = width / (2.0 * tanfovx)
@@ -179,13 +193,54 @@ def preprocess(
         # Fixed-capacity model: dead slots are culled before binning so they
         # consume no instance-budget (fourdgs_tpu.models.gaussians design).
         valid = valid & alive
-    tiles = jnp.where(
+    tiles_sq = jnp.where(
         valid, (tmax_x - tmin_x) * (tmax_y - tmin_y), 0
     ).astype(jnp.int32)
     # A Gaussian touching zero tiles is dead (rasterizer_impl.cu:207-209).
-    alive = valid & (tiles > 0)
+    alive = valid & (tiles_sq > 0)
     radii = jnp.where(alive, radius_f, 0.0).astype(jnp.int32)
-    tiles = jnp.where(alive, tiles, 0)
+
+    if opacities is not None:
+        # Tight rect (see docstring): the per-axis extents of the α ≥ 1/255
+        # ellipse, +0.5 px to absorb the rounding of the sqrt/log chain so
+        # edge pixels are never shaved. The exclusive tile max is
+        # ⌊(mean+ext)/TILE⌋+1 — a true cover of the fractional-coordinate box
+        # (the reference's ⌊(v+TILE−1)/TILE⌋ under-covers fractional v, which
+        # is part of its 3σ truncation). The ellipse rect is then
+        # INTERSECTED with the reference's square rect so the instance set is
+        # a subset of the CUDA one with only α<1/255 members removed: exact
+        # output parity in both directions.
+        op = jax.lax.stop_gradient(opacities.reshape(-1))
+        c2 = 2.0 * jnp.log(jnp.maximum(op, 1e-12) * (1.0 / C.ALPHA_FLOOR))
+        c2 = jnp.maximum(c2, 0.0)
+        ext_x = jnp.sqrt(c2 * jnp.maximum(a, 0.0)) + 0.5
+        ext_y = jnp.sqrt(c2 * jnp.maximum(c, 0.0)) + 0.5
+        mx = jax.lax.stop_gradient(means2d[..., 0])
+        my = jax.lax.stop_gradient(means2d[..., 1])
+        emin_x = jnp.clip(
+            jnp.floor((mx - ext_x) / C.TILE_X), 0, grid_x
+        ).astype(jnp.int32)
+        emin_y = jnp.clip(
+            jnp.floor((my - ext_y) / C.TILE_Y), 0, grid_y
+        ).astype(jnp.int32)
+        emax_x = jnp.clip(
+            jnp.floor((mx + ext_x) / C.TILE_X) + 1, 0, grid_x
+        ).astype(jnp.int32)
+        emax_y = jnp.clip(
+            jnp.floor((my + ext_y) / C.TILE_Y) + 1, 0, grid_y
+        ).astype(jnp.int32)
+        tmin_x = jnp.maximum(tmin_x, emin_x)
+        tmin_y = jnp.maximum(tmin_y, emin_y)
+        tmax_x = jnp.minimum(tmax_x, emax_x)
+        tmax_y = jnp.minimum(tmax_y, emax_y)
+        vis = alive & (op > C.ALPHA_FLOOR)
+        tiles = jnp.where(
+            vis & (tmax_x > tmin_x) & (tmax_y > tmin_y),
+            (tmax_x - tmin_x) * (tmax_y - tmin_y),
+            0,
+        ).astype(jnp.int32)
+    else:
+        tiles = jnp.where(alive, tiles_sq, 0)
 
     if colors_precomp is not None:
         rgb = colors_precomp

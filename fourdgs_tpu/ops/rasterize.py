@@ -63,7 +63,7 @@ def rasterize_pallas(
         camera_center, world_view, full_proj,
         tanfovx, tanfovy, width, height, sh_degree,
         cov3d_precomp=cov3d_precomp, colors_precomp=colors_precomp,
-        alive=alive,
+        alive=alive, opacities=opac,
     )
     means2d = pre.means2d
     if means2d_offset is not None:
@@ -71,13 +71,12 @@ def rasterize_pallas(
 
     grid_x = (width + C.TILE_X - 1) // C.TILE_X
     grid_y = (height + C.TILE_Y - 1) // C.TILE_Y
-    K = instance_budget
     CH = PB.CHUNK
-    # K is the budget of the CHUNK-aligned layout itself: the per-tile
-    # alignment padding (< CHUNK per nonempty tile) eats into it alongside
-    # the real instances, and overflow clamps exactly like the unpadded
-    # budget (num_rendered reports the true demand for budget growth).
-    k_pad = K
+    # COMPACT layout: the budget covers true instance demand only (no
+    # per-tile alignment padding — the kernels DMA CHUNK-aligned windows and
+    # mask stray lanes). K must be a CHUNK multiple so window DMA never runs
+    # past the buffer.
+    K = -(-instance_budget // CH) * CH
 
     tile_min = jax.lax.stop_gradient(pre.tile_min)
     tile_max = jax.lax.stop_gradient(pre.tile_max)
@@ -107,39 +106,14 @@ def rasterize_pallas(
         pre.depths,
         grid_x, grid_y, K,
     )
-
-    # CHUNK-aligned per-tile ranges: tile t owns [astart[t], astart[t]+alen[t])
-    # in the padded layout, alen rounded up to CHUNK, clamped to k_pad.
     tile_len = bins.tile_stop - bins.tile_start           # [T]
-    alen = ((tile_len + CH - 1) // CH) * CH
-    acum = jnp.minimum(jnp.cumsum(alen), k_pad)
-    astart = jnp.minimum(acum - alen, k_pad)
-    alen = acum - astart
-    tile_len = jnp.minimum(tile_len, alen)
-
-    # padded slot q ← source instance slot (or invalid padding). Tile index
-    # per slot via scatter+cumsum (searchsorted is a serial loop on TPU).
-    q = jnp.arange(k_pad, dtype=jnp.int32)
-    head = jnp.zeros((k_pad,), jnp.int32).at[
-        jnp.where(alen > 0, astart, k_pad)
-    ].add(1, mode="drop")
-    t_q = jnp.cumsum(head) - 1
-    t_qc = jnp.clip(t_q, 0, T - 1)
-    within = q - jnp.take(astart, t_qc)
-    src = jnp.take(bins.tile_start, t_qc) + within
-    valid_q = (
-        (t_q >= 0)
-        & (q < acum[-1])
-        & (within < jnp.take(tile_len, t_qc))
-        & (src < K)
-    )
-    src_c = jnp.where(valid_q, src, 0)
-    gid = jnp.take(bins.gauss_id, src_c)
 
     # One packed per-Gaussian attribute table [P, 16] → ONE row gather into
-    # the attribute-major payload [16, K_pad]. Select-gating masks padding
-    # slots in the forward AND blocks garbage cotangents from unwritten
-    # dfeat regions in the backward (select, not multiply — NaN-safe).
+    # the attribute-major compact payload [16, K]. Padding slots carry
+    # Gaussian 0's (finite) row; the kernels' [start, stop) lane gates make
+    # them inert in the forward, and the backward's masked RMW accumulation
+    # leaves their gradient rows exactly zero, so no per-slot select is
+    # needed on either side.
     P_n = means3d.shape[0]
     table = jnp.concatenate(
         [
@@ -153,14 +127,12 @@ def rasterize_pallas(
         axis=1,
     )  # [P, 16]
     table = table.astype(payload_dtype)  # optional bf16: halves gather+DMA
-    rows = jnp.take(table, gid, axis=0)            # [K_pad, 16]
-    rows = jnp.where(valid_q[:, None], rows, 0.0)
-    feat = rows.T
+    feat = jnp.take(table, bins.gauss_id, axis=0).T      # [16, K]
 
     out = PB.blend_pallas(
-        feat, astart, tile_len,
+        feat, bins.tile_start, bins.tile_stop,
         jnp.asarray([tile_row_offset], jnp.int32),
-        grid_x, T, k_pad, interpret,
+        grid_x, T, K, interpret,
     )  # [T, 256, 8]
 
     col = out[:, :, 0:3]

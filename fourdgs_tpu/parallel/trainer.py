@@ -1,0 +1,283 @@
+"""The sharded end-to-end trainer: one shard_map'd train step over a mesh.
+
+SURVEY.md §2.7 / BASELINE north star: the reference is single-GPU
+(train.py:197-209 renders the micro-batch sequentially); the TPU build scales
+with SPMD over a ``Mesh(('data', 'model'))``:
+
+  data  — cameras of the micro-batch (batch_size must divide the axis)
+  model — horizontal slabs of tile rows (the SP/CP analog for splatting:
+          each device rasterizes its rows against the full primitive set,
+          fourdgs_tpu.parallel.sp design)
+
+Primitive parameters are **replicated**: every slab's preprocess reads all P
+Gaussians anyway, so sharding [P] tensors would force a per-step all-gather
+right before the first use — replication is the communication-optimal layout
+at 4DGS scales (≤360k × ~60 floats ≈ 86 MB). What the mesh buys is the
+pixel-dominated work: rasterize forward+backward, which is >80% of the step.
+
+Inside one jitted shard_map step, each device:
+  1. renders its (cameras × tile-row slab) block through the production
+     Pallas pipeline, with the means2D gradient carrier;
+  2. computes its additive share of the loss — L1 on local pixels, D-SSIM on
+     the row-gathered image (11×11 windows straddle slab boundaries, so the
+     color rows are all-gathered over 'model' and the gather's transpose
+     routes pixel gradients back to the owning slab), fine-stage hexplane
+     regularization on the replicated field;
+  3. takes jax.grad of that local share; the parameter gradients are then
+     psum'd over ('data','model') — the only parameter-sized collective;
+  4. applies Adam replicated (3 ms of redundant compute beats communicating
+     86 MB of update state), accumulates densification statistics from the
+     psum'd viewspace gradients, and returns replicated outputs.
+
+Densify/prune/opacity-reset run between steps as the ordinary jitted
+maintenance on the replicated state — deterministic, hence consistent across
+devices without communication.
+
+Multi-host: the same code runs under ``jax.distributed.initialize`` (see
+fourdgs_tpu.parallel.multihost) — put 'data' on the DCN/host axis and
+'model' on ICI so the row all-gather and grad psum ride ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map
+
+from fourdgs_tpu.configs.core import Config
+from fourdgs_tpu.models import deformation as deform_lib
+from fourdgs_tpu.models import densify as dens
+from fourdgs_tpu.models import gaussians as G
+from fourdgs_tpu.models import hexplane as hp
+from fourdgs_tpu.ops import constants as C
+from fourdgs_tpu.ops.rasterize import rasterize_pallas
+from fourdgs_tpu.train import adam
+from fourdgs_tpu.utils import losses
+
+
+def batch_specs(mesh: Mesh, cams, gts):
+    """PartitionSpecs for a camera batch: batch over 'data', gt rows over
+    'model' (slab rows)."""
+    cam_spec = jax.tree.map(lambda _: P("data"), cams)
+    return cam_spec, P("data", None, "model", None)
+
+
+def place_batch(mesh: Mesh, cams, gts):
+    cam_spec, gt_spec = batch_specs(mesh, cams, gts)
+    cams = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), cams
+    )
+    gts = jax.device_put(gts, NamedSharding(mesh, gt_spec))
+    return cams, gts
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree fully replicated on the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(x, s) if isinstance(x, jnp.ndarray) else x,
+        tree,
+    )
+
+
+def make_sharded_train_step(
+    cfg: Config,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    stage: str,
+    active_sh_degree: int,
+    spatial_lr_scale: float = 1.0,
+    interpret: bool | None = None,
+) -> Callable:
+    """Build the jitted dp×sp train step (same contract as
+    fourdgs_tpu.train.loop.make_train_step).
+
+    Requirements: gts [B, 3, H, W] with B % mesh.shape['data'] == 0 and the
+    tile-row count (⌈H/16⌉) % mesh.shape['model'] == 0.
+    """
+    n_data = mesh.shape["data"]
+    n_sp = mesh.shape["model"]
+    grid_y = (height + C.TILE_Y - 1) // C.TILE_Y
+    if grid_y % n_sp != 0:
+        raise ValueError(
+            f"tile rows {grid_y} not divisible by model axis {n_sp}"
+        )
+    rows_per = grid_y // n_sp
+    slab_h = rows_per * C.TILE_Y
+    if interpret is None:
+        interpret = cfg.tpu.pallas_interpret or jax.default_backend() == "cpu"
+    bg = jnp.array(
+        [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
+    )
+
+    def render_slab(params, state, cam, carrier, row_offset):
+        xyz = params["xyz"]
+        scaling = params["scaling"]
+        rotation = params["rotation"]
+        opacity = params["opacity"]
+        shs = G.get_features(params)
+        if stage == "fine":
+            t = jnp.broadcast_to(cam.time, (xyz.shape[0],))
+            xyz, scaling, rotation, opacity, shs = deform_lib.deform(
+                params["deform"], cfg.hidden, state.aabb,
+                xyz, scaling, rotation, opacity, shs, t,
+            )
+        dxyz_abs = jnp.abs(xyz - params["xyz"])
+        scales_act = jnp.exp(scaling)
+        if cfg.model.use_isotropic_gaussian:
+            scales_act = jnp.repeat(scales_act[:, :1], 3, axis=1)
+        rot_act = rotation / jnp.maximum(
+            jnp.linalg.norm(rotation, axis=-1, keepdims=True), 1e-12
+        )
+        out = rasterize_pallas(
+            xyz, scales_act, rot_act, jax.nn.sigmoid(opacity), shs,
+            cam.camera_center, cam.world_view, cam.full_proj,
+            cam.tanfovx, cam.tanfovy, width, height,
+            active_sh_degree, bg,
+            instance_budget=cfg.tpu.instance_budget,
+            means2d_offset=carrier,
+            alive=state.alive,
+            interpret=interpret,
+            tile_row_offset=row_offset,
+            tile_rows=rows_per,
+            payload_dtype=(jnp.bfloat16 if cfg.tpu.payload_bf16
+                           else jnp.float32),
+        )
+        return out, dxyz_abs
+
+    def local_loss(params, carrier, state, cams, gts):
+        """This device's ADDITIVE share of the global loss: psum over
+        ('data','model') of this value == the single-device loss."""
+        row_offset = jax.lax.axis_index("model") * rows_per
+        B_local = gts.shape[0]
+        B_total = B_local * n_data
+        colors = []
+        radii_l = []
+        nrend = jnp.int32(0)
+        tlen = jnp.int32(0)
+        dxyz = 0.0
+        for i in range(B_local):
+            cam_i = jax.tree.map(lambda x: x[i], cams)
+            out, dxyz_abs = render_slab(
+                params, state, cam_i, carrier[i], row_offset
+            )
+            colors.append(out.color[:, :slab_h])
+            radii_l.append(out.radii)
+            nrend = jnp.maximum(nrend, out.num_rendered)
+            tlen = jnp.maximum(tlen, out.max_tile_len)
+            dxyz = dxyz + dxyz_abs / B_total
+        colors = jnp.stack(colors)              # [B_local, 3, slab_h, W]
+        gts = gts[:, :3]
+        # L1 on local pixels: sum/(global count) is an additive share
+        l1_share = jnp.sum(jnp.abs(colors - gts)) / (
+            B_total * 3 * height * width
+        )
+        loss = l1_share
+        if stage == "fine" and cfg.hidden.time_smoothness_weight != 0:
+            # replicated compute → divide so the psum counts it once
+            loss = loss + hp.hexplane_regularization(
+                params["deform"], len(cfg.hidden.multires),
+                cfg.hidden.plane_tv_weight,
+                cfg.hidden.time_smoothness_weight,
+                cfg.hidden.l1_time_planes,
+            ) / (n_data * n_sp)
+        # per-camera squared error (for PSNR): [B_local]
+        sq = jnp.sum((colors - gts) ** 2, axis=(1, 2, 3))
+        if cfg.opt.lambda_dssim != 0:
+            # 11×11 SSIM windows straddle slab boundaries: gather the rows
+            # (all_gather transpose routes grads back to the owning slab)
+            full_c = jax.lax.all_gather(colors, "model", axis=2, tiled=True)
+            full_g = jax.lax.all_gather(gts, "model", axis=2, tiled=True)
+            ssim_term = (1.0 - losses.ssim(
+                full_c[:, :, :height], full_g[:, :, :height]
+            ))
+            loss = loss + cfg.opt.lambda_dssim * ssim_term * (
+                B_local / (B_total * n_sp)
+            )
+        aux = (l1_share, sq, jnp.stack(radii_l), nrend, tlen, dxyz)
+        return loss, aux
+
+    def shard_step(params, adam_state, state, cams, gts, step):
+        B_local = gts.shape[0]
+        Pn = params["xyz"].shape[0]
+        carrier = jnp.zeros((B_local, Pn, 2), jnp.float32)
+        (loss_sh, aux), (g_params, g_carrier) = jax.value_and_grad(
+            local_loss, argnums=(0, 1), has_aux=True
+        )(params, carrier, state, cams, gts)
+        l1_sh, sq, radii_l, nrend, tlen, dxyz = aux
+
+        # the ONLY parameter-sized collective of the step
+        g_params = jax.lax.psum(g_params, ("data", "model"))
+        loss = jax.lax.psum(loss_sh, ("data", "model"))
+        l1 = jax.lax.psum(l1_sh, ("data", "model"))
+        # viewspace-grad stats: sum over batch + both axes (train.py:266-268)
+        vs_grad = jax.lax.psum(
+            jnp.sum(g_carrier, axis=0), ("data", "model")
+        )
+        # per-camera mse over the full image, then mean over all cameras
+        sq_full = jax.lax.psum(sq, "model")
+        mse = sq_full / (3 * height * width)
+        psnr = jax.lax.pmean(
+            jnp.mean(20.0 * jnp.log10(1.0 / jnp.sqrt(mse + 1e-12))), "data"
+        )
+        radii = jax.lax.pmax(jnp.max(radii_l, axis=0), "data")
+        nrend = jax.lax.pmax(nrend, ("data", "model"))
+        tlen = jax.lax.pmax(tlen, ("data", "model"))
+        dxyz = jax.lax.psum(dxyz, "data")
+
+        lrs = adam.learning_rates(step, cfg.opt, spatial_lr_scale)
+        lr_tree = adam.lr_tree_for_params(params, lrs)
+        new_params, new_adam = adam.update(
+            params, g_params, adam_state, lr_tree
+        )
+        state = dens.add_densification_stats(
+            state, vs_grad, radii, width, height
+        )
+        state = state._replace(
+            deformation_accum=state.deformation_accum + dxyz
+        )
+        metrics = {
+            "loss": loss,
+            "l1": l1,
+            "psnr": psnr,
+            "num_rendered": nrend,
+            "max_tile_len": tlen,
+            "n_points": G.count_alive(state),
+        }
+        return new_params, new_adam, state, metrics
+
+    rep = P()
+
+    def specs_like(tree, spec):
+        return jax.tree.map(
+            lambda _: spec, tree, is_leaf=lambda x: isinstance(x, jnp.ndarray)
+        )
+
+    @jax.jit
+    def train_step(params, adam_state, state, cams, gts, step):
+        pspec = specs_like(params, rep)
+        aspec = specs_like(adam_state, rep)
+        sspec = specs_like(state, rep)
+        cam_spec = specs_like(cams, P("data"))
+        return shard_map(
+            shard_step,
+            mesh=mesh,
+            in_specs=(pspec, aspec, sspec, cam_spec,
+                      P("data", None, "model", None), rep),
+            out_specs=(pspec, aspec, sspec, specs_like(
+                {"loss": 0, "l1": 0, "psnr": 0, "num_rendered": 0,
+                 "max_tile_len": 0, "n_points": 0}, rep)),
+            # pallas_call doesn't declare varying-mesh-axes metadata
+            check_vma=False,
+        )(params, adam_state, state, cams, gts, step)
+
+    return train_step

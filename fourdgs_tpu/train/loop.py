@@ -270,6 +270,14 @@ def scene_reconstruction(
     if prefetcher:
         prefetcher.submit_batch([gt_list[i] for i in pending_idx])
 
+    # active_sh_degree tracked HOST-side: it changes only on the 1000-iter
+    # annealing cadence (train.py:149-150), so pulling it from the device
+    # every step (a device→host sync serializing dispatch — the very
+    # throttling this loop exists to avoid) is never necessary. The device
+    # copy in ``state`` is still updated for checkpoint fidelity.
+    sh_deg = int(state.active_sh_degree)
+    spatial_lr = float(state.spatial_lr_scale)
+
     for iteration in range(1, train_iter + 1):
         if timer:
             timer.start_iteration(iteration)
@@ -277,6 +285,7 @@ def scene_reconstruction(
         # SH annealing every 1000 iters (train.py:149-150)
         if iteration % 1000 == 0:
             state = G.one_up_sh_degree(state, max_sh)
+            sh_deg = min(sh_deg + 1, max_sh)
 
         batch_idx = pending_idx
         if prefetcher:
@@ -301,11 +310,10 @@ def scene_reconstruction(
             timer.end_timer(f"{stage}_data_loading")
             timer.start_timer(f"{stage}_render")
 
-        sh_deg = int(state.active_sh_degree)
         if sh_deg not in train_steps:
             train_steps[sh_deg] = make_train_step(
                 cfg, width, height, stage, sh_deg,
-                spatial_lr_scale=float(state.spatial_lr_scale),
+                spatial_lr_scale=spatial_lr,
                 track_grads=gradient_tracker is not None,
             )
         adam_state, state, metrics = _run_step(

@@ -1,8 +1,8 @@
 """Per-stage wall-clock breakdown of the bench train step on the live chip.
 
 Times each pipeline stage in isolation (jitted, warmed) so we know where the
-step's milliseconds go: preprocess, binning sort, payload gather, pallas
-blend fwd, blend fwd+bwd, deformation fwd, full train step.
+step's milliseconds go: preprocess, binning, payload gather, pallas blend
+fwd/bwd, gradient scatter, render fwd+bwd, adam, full train step.
 
 Usage: python scripts/profile_step.py
 """
@@ -15,16 +15,22 @@ import time
 sys.path.insert(0, ".")
 
 
-def timeit(fn, *args, iters=20, warmup=3):
+def _sync(out):
+    """True host sync (block_until_ready is a no-op on the remote backend)."""
     import jax
 
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "ravel"):
+            _ = leaf.ravel()[0].item()
+
+
+def timeit(fn, *args, iters=20, warmup=3):
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
@@ -37,7 +43,6 @@ def main():
     from fourdgs_tpu.ops import pallas_blend as PB
     from fourdgs_tpu.ops.binning import bin_gaussians_fast
     from fourdgs_tpu.ops.preprocess import preprocess
-    from fourdgs_tpu.render import CameraArrays
 
     H = W = 800
     step, state, adam_state, cams, gts = build_workload(height=H, width=W)
@@ -56,79 +61,65 @@ def main():
     opac = jax.nn.sigmoid(params["opacity"]).reshape(-1)
     shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
 
-    pre_f = jax.jit(lambda m, s, r, sh: preprocess(
+    pre_f = jax.jit(lambda m, s, r, sh, o: preprocess(
         m, s, r, sh, cam0.camera_center, cam0.world_view, cam0.full_proj,
-        float(cam0.tanfovx), float(cam0.tanfovy), W, H, 3))
+        float(cam0.tanfovx), float(cam0.tanfovy), W, H, 3, opacities=o))
     print(f"preprocess fwd:       "
-          f"{timeit(pre_f, means3d, scales, rots, shs):8.2f} ms")
+          f"{timeit(pre_f, means3d, scales, rots, shs, opac):8.2f} ms")
 
-    pre = pre_f(means3d, scales, rots, shs)
+    pre = pre_f(means3d, scales, rots, shs, opac)
     gx = (W + C.TILE_X - 1) // C.TILE_X
     gy = (H + C.TILE_Y - 1) // C.TILE_Y
-    K = 1 << 19
+    K = 320 * 1024
 
     bin_f = jax.jit(lambda tmin, tmax, tt, d: bin_gaussians_fast(
         tmin, tmax, tt, d, gx, gy, K))
-    print(f"binning (sort):       "
+    print(f"binning:              "
           f"{timeit(bin_f, pre.tile_min, pre.tile_max, pre.tiles_touched, pre.depths):8.2f} ms")
 
     bins = bin_f(pre.tile_min, pre.tile_max, pre.tiles_touched, pre.depths)
     T = gx * gy
-    CH = PB.CHUNK
-    tile_len = bins.tile_stop - bins.tile_start
-    alen = ((tile_len + CH - 1) // CH) * CH
-    acum = jnp.minimum(jnp.cumsum(alen), K)
-    astart = jnp.minimum(acum - alen, K)
-    alen2 = acum - astart
-    tlen = jnp.minimum(tile_len, alen2)
+    print(f"  (true demand: {int(bins.num_rendered)})")
+
+    P_n = means3d.shape[0]
 
     def gather(gid_src):
-        P_n = means3d.shape[0]
         table = jnp.concatenate([
             pre.means2d, pre.conic, opac[:, None], pre.rgb,
             pre.depths[:, None], jnp.zeros((P_n, PB.FEAT_ROWS - 10))], axis=1)
-        rows = jnp.take(table, gid_src, axis=0)
-        return rows.T
-
-    q = jnp.arange(K, dtype=jnp.int32)
-    head = jnp.zeros((K,), jnp.int32).at[
-        jnp.where(alen2 > 0, astart, K)].add(1, mode="drop")
-    t_q = jnp.cumsum(head) - 1
-    t_qc = jnp.clip(t_q, 0, T - 1)
-    within = q - jnp.take(astart, t_qc)
-    src = jnp.take(bins.tile_start, t_qc) + within
-    valid_q = (t_q >= 0) & (q < acum[-1]) & (within < jnp.take(tlen, t_qc)) & (src < K)
-    gid = jnp.take(bins.gauss_id, jnp.where(valid_q, src, 0))
+        return jnp.take(table, gid_src, axis=0).T
 
     gather_j = jax.jit(gather)
-    print(f"payload gather:       {timeit(gather_j, gid):8.2f} ms")
-    feat = gather_j(gid)
-    feat = jnp.where(valid_q[None, :], feat, 0.0)
+    print(f"payload gather:       {timeit(gather_j, bins.gauss_id):8.2f} ms")
+    feat = gather_j(bins.gauss_id)
 
     row_off = jnp.asarray([0], jnp.int32)
-    fwd = jax.jit(lambda f, s, l: PB.blend_pallas(f, s, l, row_off, gx, T, K))
-    print(f"blend fwd:            {timeit(fwd, feat, astart, tlen):8.2f} ms")
+    fwd = jax.jit(lambda f, s, e: PB.blend_pallas(f, s, e, row_off, gx, T, K))
+    print(f"blend fwd:            "
+          f"{timeit(fwd, feat, bins.tile_start, bins.tile_stop):8.2f} ms")
 
     def loss_fn(f):
-        out = PB.blend_pallas(f, astart, tlen, row_off, gx, T, K)
+        out = PB.blend_pallas(
+            f, bins.tile_start, bins.tile_stop, row_off, gx, T, K
+        )
         return jnp.sum(out[:, :, :4])
 
     fb = jax.jit(jax.grad(loss_fn))
     print(f"blend fwd+bwd:        {timeit(fb, feat):8.2f} ms")
 
     # backward of the payload gather: scatter-add with duplicate indices
+    gid = bins.gauss_id
+
     def gather_loss(table):
         rows = jnp.take(table, gid, axis=0)
         return jnp.sum(rows * rows)
 
-    P_n = means3d.shape[0]
     table0 = jnp.zeros((P_n, PB.FEAT_ROWS), jnp.float32)
     gb = jax.jit(jax.grad(gather_loss))
     print(f"gather bwd (scatter): {timeit(gb, table0):8.2f} ms")
 
-    # full render fwd+bwd, fine stage (raster + deformation + hexplane)
+    # full render fwd+bwd, coarse + fine stage (raster [+ deformation])
     from fourdgs_tpu.render import render as render_fn
-    from fourdgs_tpu.configs.core import load_config
     cfg = _bench_cfg()
     bgc = jnp.zeros(3)
 
@@ -150,11 +141,10 @@ def main():
 
 
 def _bench_cfg():
-    from bench import build_workload  # noqa
     from fourdgs_tpu.configs.core import load_config
     cfg = load_config()
     cfg.tpu.capacity = 65_536
-    cfg.tpu.instance_budget = 1 << 19
+    cfg.tpu.instance_budget = 320 * 1024
     cfg.tpu.tile_budget = 2048
     cfg.tpu.blend_chunk = 256
     cfg.hidden.multires = (1, 2)
