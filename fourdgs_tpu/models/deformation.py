@@ -113,9 +113,15 @@ def query_time(
     xyz: jnp.ndarray,
     t: jnp.ndarray,
 ) -> jnp.ndarray:
-    """HexPlane features → hidden vector (deformation.py:67-83)."""
+    """HexPlane features → hidden vector (deformation.py:67-83).
+
+    ``t`` may be per-point [N]/[N,1] or a scalar (all points share one
+    camera time — enables the hexplane temporal matmul fast path)."""
     if hidden.no_grid:
-        h = jnp.concatenate([xyz, t.reshape(-1, 1)], axis=-1)
+        t_col = jnp.broadcast_to(
+            jnp.reshape(t, (-1, 1)), (xyz.shape[0], 1)
+        )
+        h = jnp.concatenate([xyz, t_col], axis=-1)
     else:
         h = hexplane.query_hexplane(
             params, aabb, xyz, t, len(hidden.multires)
@@ -133,7 +139,7 @@ def deform(
     rotations: jnp.ndarray,  # [N,4] raw quaternions
     opacity: jnp.ndarray,    # [N,1] raw opacity logits
     shs: jnp.ndarray,        # [N,K,3]
-    t: jnp.ndarray,          # [N] or [N,1]
+    t: jnp.ndarray,          # [N], [N,1], or scalar (shared camera time)
 ):
     """forward_dynamic (deformation.py:97-148): apply per-head deltas.
 

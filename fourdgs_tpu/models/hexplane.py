@@ -98,6 +98,45 @@ def _bilinear_plane(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     )
 
 
+def _bilinear_tslice(plane: jnp.ndarray, u: jnp.ndarray, t: jnp.ndarray):
+    """Temporal plane [Ra, Rt, F] sampled at per-point u and a SHARED t.
+
+    When every point queries the same timestamp (the render path broadcasts
+    one camera time over all Gaussians, gaussian_renderer/__init__.py:52),
+    the 2-D bilinear sample factorizes: lerp the two t-columns into a 1-D
+    table [Ra, F], then evaluate the border-clamped linear interp as a dense
+    [N, Ra] @ [Ra, F] matmul whose lhs holds the two interpolation weights
+    per row. Identical math to :func:`_bilinear_plane` — but forward and
+    backward are MXU matmuls instead of a 4-corner gather and its
+    scatter-add transpose (XLA TPU scatter costs ~7 ns per update row; the
+    24 temporal-corner scatters were ~40% of the whole train step).
+    """
+    Ra, Rt, _ = plane.shape
+    ty = jnp.clip((t + 1.0) * 0.5 * (Rt - 1), 0.0, Rt - 1)
+    t0 = jnp.clip(jnp.floor(ty), 0, Rt - 1).astype(jnp.int32)
+    t1 = jnp.minimum(t0 + 1, Rt - 1)
+    wt = ty - t0.astype(ty.dtype)
+    table = (
+        jnp.take(plane, t0, axis=1) * (1.0 - wt)
+        + jnp.take(plane, t1, axis=1) * wt
+    )  # [Ra, F]
+
+    x = jnp.clip((u + 1.0) * 0.5 * (Ra - 1), 0.0, Ra - 1)
+    x0f = jnp.clip(jnp.floor(x), 0, Ra - 1)
+    wx = (x - x0f)[:, None]
+    x0 = x0f.astype(jnp.int32)[:, None]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], Ra), 1)
+    # two-nonzero interpolation matrix; x0 == Ra−1 implies wx == 0, so the
+    # dropped x0+1 == Ra lane never carries weight (border semantics intact)
+    A = jnp.where(lanes == x0, 1.0 - wx, 0.0) + jnp.where(
+        lanes == x0 + 1, wx, 0.0
+    )
+    return jax.lax.dot_general(
+        A, table, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def normalize_aabb(xyz: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
     """(xyz − aabb[0]) · 2/(aabb[1] − aabb[0]) − 1, with aabb = [max, min].
 
@@ -121,17 +160,27 @@ def query_hexplane(
     reference concatenates timestamps after AABB normalization,
     hexplane.py:163-164) so t∈[0,1] addresses the upper half of the temporal
     axis — preserved for parity.
+
+    When ``t`` is a scalar (one camera time shared by all points — the
+    training/render path), the three temporal planes use the factorized
+    matmul sampler (:func:`_bilinear_tslice`): same values, no scatter-add
+    in the backward.
     """
-    pts = jnp.concatenate(
-        [normalize_aabb(xyz, aabb), t.reshape(-1, 1)], axis=-1
-    )
+    t_scalar = jnp.ndim(t) == 0
+    xyzn = normalize_aabb(xyz, aabb)
+    if t_scalar:
+        pts = xyzn
+    else:
+        pts = jnp.concatenate([xyzn, t.reshape(-1, 1)], axis=-1)
     feats = []
     for s in range(multires_len):
         prod = None
         for p, comb in enumerate(COO_COMBS):
-            v = _bilinear_plane(
-                params[f"grid_s{s}_p{p}"], pts[:, comb[0]], pts[:, comb[1]]
-            )
+            plane = params[f"grid_s{s}_p{p}"]
+            if t_scalar and comb[1] == 3:
+                v = _bilinear_tslice(plane, pts[:, comb[0]], t)
+            else:
+                v = _bilinear_plane(plane, pts[:, comb[0]], pts[:, comb[1]])
             prod = v if prod is None else prod * v
         feats.append(prod)
     return jnp.concatenate(feats, axis=-1)

@@ -10,27 +10,39 @@ TPU-native replacement for the CUDA forward/backward render kernels
   true instance demand, not a chunk-padded layout. The kernels instead DMA
   CHUNK-aligned *windows* [⌊start/CHUNK⌋·CHUNK, stop) and mask the out-of-range
   lanes, trading a few masked lanes per tile for a ~1.5× smaller payload.
-- The forward kernel runs a 1-D grid over tiles. Each program DMAs its
-  window in CHUNK-instance chunks, evaluates α for all 16×16 = 256 pixels at
-  once (pixels on sublanes, instances on lanes), composes transmittance with
-  a Hillis-Steele prefix product along the lane axis (the associative-scan
-  form of the CUDA serial loop), and early-exits once every pixel saturates
-  (T < 1e-4, forward.cu:352-354). Work ∝ actual instance counts.
-- The backward kernel re-walks the same chunks front-to-back, recovering the
-  suffix sums S_i = C_total − prefix_i (the associative form of the CUDA
-  back-to-front accum_rec recurrence, backward.cu:442-522) and accumulates
-  per-instance gradients into a flat [16, K] buffer. Because a boundary chunk
-  is shared by two consecutive tiles, gradient chunks are accumulated
-  read-modify-write; the TPU grid is sequential (dimension_semantics
-  "arbitrary"), so this is race-free — the deterministic replacement for the
-  CUDA atomicAdd (backward.cu:523-554). The buffer is zero-initialised via
-  input/output aliasing, and per-Gaussian reduction is a plain XLA
+- **MXU prefix scans.** The CUDA kernel's serial per-pixel transmittance
+  recurrence (forward.cu:340-360) is an associative scan. Instead of a
+  Hillis-Steele roll chain (log₂·CHUNK VPU passes over [256, CHUNK]), both
+  kernels compute prefix quantities as a single [256,CHUNK]×[CHUNK,CHUNK]
+  triangular matmul on the MXU — transmittance in log space
+  (T_excl = T·exp(Σ_{j<i} log(1−α_j))), gradient suffix sums directly. The
+  color accumulation Σᵢ wᵢ·(r,g,b,z)ᵢ is one [256,CHUNK]×[CHUNK,4] matmul.
+  All matmuls run at Precision.HIGHEST (bf16x6 passes ≈ f32-exact).
+- **Pipelined DMA.** Tile ranges are contiguous in the payload
+  (stop_t == start_{t+1}), so while a chunk is blended the next chunk —
+  the tile's next window chunk, or across the tile boundary the next tile's
+  first chunk — is already in flight into the other half of a 2-buffer ring
+  (per-buffer DMA semaphores; ring state carried across grid steps in SMEM).
+  The grid is sequential ("arbitrary"), which makes this exact.
+- The forward kernel evaluates α for all 16×16 = 256 pixels at once (pixels
+  on sublanes, instances on lanes) and early-exits a tile once every pixel
+  saturates (T < 1e-4, forward.cu:352-354). Work ∝ actual instance counts.
+- The backward kernel re-walks the same chunks front-to-back with the same
+  early exit, recovering per-instance suffix sums via ONE combined scalar
+  per pixel (S_comb = Σ_q S_q·g_q — the four per-channel suffix sums of
+  backward.cu:442-522 collapse because the cotangents are per-pixel
+  constants), and accumulates per-instance gradients into a [16, K] buffer.
+  A boundary chunk shared by two consecutive tiles is **carried in VMEM**
+  across the tile switch and every chunk is written exactly once — the
+  deterministic, race-free replacement for CUDA's atomicAdd
+  (backward.cu:523-554). Untouched chunks keep the zero-initialised
+  (input/output aliased) buffer; per-Gaussian reduction is a plain XLA
   scatter-add outside the kernel.
 
-feat rows (f32): 0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6:r 7:g 8:b
-9:depth 10..15:pad. Per-tile output block: [256 pixels, 8] with columns
-0-2 = pre-background color sum, 3 = depth sum, 4 = final transmittance.
-Gradient feat rows mirror the payload layout.
+feat rows (f32 or bf16): 0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity
+6:r 7:g 8:b 9:depth 10..15:pad. Per-tile output block: [256 pixels, 8] with
+columns 0-2 = pre-background color sum, 3 = depth sum, 4 = final
+transmittance. Gradient feat rows mirror the payload layout.
 """
 
 from __future__ import annotations
@@ -49,32 +61,15 @@ FEAT_ROWS = 16
 OUT_COLS = 8
 CHUNK = 128  # instances per chunk == DMA window alignment (lane-dim multiple)
 
-
-def _shift_right(x, s, fill):
-    """result[:, i] = x[:, i-s] for i >= s else fill (lane axis)."""
-    rolled = pltpu.roll(x, shift=s, axis=1)
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(idx < s, fill, rolled)
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _prefix_prod(x):
-    """Hillis-Steele inclusive prefix product along the lane axis."""
-    n = x.shape[1]
-    s = 1
-    while s < n:
-        x = x * _shift_right(x, s, 1.0)
-        s *= 2
-    return x
-
-
-def _prefix_sum(x):
-    """Hillis-Steele inclusive prefix sum along the lane axis."""
-    n = x.shape[1]
-    s = 1
-    while s < n:
-        x = x + _shift_right(x, s, 0.0)
-        s *= 2
-    return x
+def _tri_excl():
+    """[CHUNK, CHUNK] strictly-upper-triangular ones: x @ tri = exclusive
+    prefix sum of x along the lane axis (cum[i] = Σ_{j<i} x[j])."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (i < j).astype(jnp.float32)
 
 
 def _pixel_coords(t, grid_x, row_offset=0):
@@ -122,68 +117,116 @@ def _chunk_alpha(buf, pxf, pyf, off, start, stop):
     return jnp.where(keep, alpha, 0.0), alpha_raw, exp_power, keep, dx, dy
 
 
+def _transmittance(alpha, T_v, tri_x):
+    """Per-lane exclusive/inclusive transmittance via MXU log-space scan.
+
+    Masked lanes (α=0) contribute log(1)=0, leaving the scan unaffected.
+    α ≤ ALPHA_CAP=0.99 keeps log(1−α) ≥ log(0.01): well-conditioned.
+    Returns (t_excl, t_incl, one_minus).
+    """
+    one_minus = 1.0 - alpha
+    lg = jnp.log(one_minus)
+    cum_x = jax.lax.dot_general(
+        lg, tri_x, (((1,), (0,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32,
+    )
+    t_excl = T_v * jnp.exp(cum_x)
+    t_incl = t_excl * one_minus
+    return t_excl, t_incl, one_minus
+
+
 def make_forward(grid_x: int, num_tiles: int, k_pad: int,
                  interpret: bool = False, feat_dtype=jnp.float32):
     """Forward pallas_call: (starts, stops, feat) → out [T, 256, 8].
 
     ``feat_dtype`` may be bfloat16: payload DMA/gather bytes halve; all
     in-kernel math stays float32 (upcast after load)."""
+    max_off = k_pad - CHUNK
 
-    def kernel(starts_ref, stops_ref, row_ref, feat_ref, out_ref, buf, sem):
+    def kernel(starts_ref, stops_ref, row_ref, feat_ref, out_ref,
+               buf, sems, slot_ref):
         t = pl.program_id(0)
         start = starts_ref[t]
         stop = stops_ref[t]
+
+        def chunk_of(v):
+            return jnp.minimum((v // CHUNK) * CHUNK, max_off)
+
+        def dma(off, slot):
+            return pltpu.make_async_copy(
+                feat_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+                buf.at[slot], sems.at[slot],
+            )
+
+        # DMA-ring invariant: entering tile t, buf[slot_ref] has one DMA in
+        # flight targeting this tile's first window chunk (for empty tiles
+        # start==stop==start_{t+1}, so the invariant carries through).
+        @pl.when(t == 0)
+        def _():
+            slot_ref[0] = 0
+            dma(chunk_of(start), 0).start()
+
+        nxt_first = chunk_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
         pxf, pyf = _pixel_coords(t, grid_x, row_ref[0])
-        off0 = (start // CHUNK) * CHUNK
+        off0 = chunk_of(start)
         n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
+        tri_x = _tri_excl()
 
         def cond(carry):
-            c, T_v, _, _, _, _ = carry
+            c, _, T_v, _ = carry
             return (c < n_chunks) & (jnp.max(T_v) >= C.T_STOP)
 
         def body(carry):
-            c, T_v, col_r, col_g, col_b, dep = carry
+            c, slot, T_v, cols = carry
             off = pl.multiple_of(off0 + c * CHUNK, CHUNK)
-            cp = pltpu.make_async_copy(
-                feat_ref.at[:, pl.ds(off, CHUNK)], buf, sem
+            nslot = 1 - slot
+            # prefetch the next window chunk — or, past the tile boundary,
+            # the next tile's first chunk — while blending this one
+            noff = jnp.where(
+                c + 1 < n_chunks, jnp.minimum(off + CHUNK, max_off),
+                nxt_first,
             )
-            cp.start()
-            cp.wait()
-            cur = buf[:].astype(jnp.float32)
+            dma(noff, nslot).start()
+            dma(off, slot).wait()
+            cur = buf[slot].astype(jnp.float32)
             alpha, _, _, _, _, _ = _chunk_alpha(
                 cur, pxf, pyf, off, start, stop
             )
-            one_minus = 1.0 - alpha
-            p_incl = _prefix_prod(one_minus)                    # [256, CH]
-            t_incl = T_v * p_incl
-            t_excl = T_v * _shift_right(p_incl, 1, 1.0)
+            t_excl, t_incl, _ = _transmittance(alpha, T_v, tri_x)
             contrib = t_incl >= C.T_STOP
             w = jnp.where(contrib, alpha * t_excl, 0.0)
-            r = cur[6:7, :]
-            g = cur[7:8, :]
-            b = cur[8:9, :]
-            z = cur[9:10, :]
-            col_r = col_r + jnp.sum(w * r, axis=1, keepdims=True)
-            col_g = col_g + jnp.sum(w * g, axis=1, keepdims=True)
-            col_b = col_b + jnp.sum(w * b, axis=1, keepdims=True)
-            dep = dep + jnp.sum(w * z, axis=1, keepdims=True)
-            # product over contributing factors == p_incl at the last
-            # contributing lane; p_incl is monotone non-increasing, so the
-            # masked min computes it (Mosaic has no reduce_prod)
-            T_new = T_v * jnp.min(
-                jnp.where(contrib, p_incl, 1.0), axis=1, keepdims=True
+            # Σ_i w_i·(r,g,b,z)_i for all 256 pixels: one MXU matmul
+            cols = cols + jax.lax.dot_general(
+                w, cur[6:10, :], (((1,), (1,)), ((), ())),
+                precision=_HI, preferred_element_type=jnp.float32,
             )
-            return c + 1, T_new, col_r, col_g, col_b, dep
+            # t_incl is monotone non-increasing along lanes; the masked min
+            # is the transmittance after the last contributing instance
+            T_new = jnp.min(
+                jnp.where(contrib, t_incl, T_v), axis=1, keepdims=True
+            )
+            return c + 1, nslot, T_new, cols
 
-        zero = jnp.zeros((N_PIX, 1), jnp.float32)
-        init = (jnp.int32(0), jnp.ones((N_PIX, 1), jnp.float32),
-                zero, zero, zero, zero)
-        _, T_fin, col_r, col_g, col_b, dep = jax.lax.while_loop(
-            cond, body, init
-        )
+        init = (jnp.int32(0), slot_ref[0],
+                jnp.ones((N_PIX, 1), jnp.float32),
+                jnp.zeros((N_PIX, 4), jnp.float32))
+        c_fin, slot, T_fin, cols = jax.lax.while_loop(cond, body, init)
+
+        # early exit: the in-flight chunk is a within-tile chunk we will
+        # never blend — drain it and restore the invariant for tile t+1
+        @pl.when(c_fin < n_chunks)
+        def _():
+            dma(jnp.int32(0), slot).wait()
+            dma(nxt_first, slot).start()
+
+        slot_ref[0] = slot
+
+        @pl.when(t == num_tiles - 1)
+        def _():
+            dma(jnp.int32(0), slot_ref[0]).wait()   # drain the ring
+
         out_ref[0] = jnp.concatenate(
-            [col_r, col_g, col_b, dep, T_fin,
-             jnp.zeros((N_PIX, OUT_COLS - 5), jnp.float32)],
+            [cols, T_fin, jnp.zeros((N_PIX, OUT_COLS - 5), jnp.float32)],
             axis=1,
         )
 
@@ -196,8 +239,9 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((FEAT_ROWS, CHUNK), feat_dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, FEAT_ROWS, CHUNK), feat_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -205,6 +249,10 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (num_tiles, N_PIX, OUT_COLS), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential grid: the DMA
+            # ring state in SMEM relies on tile order
         ),
         interpret=interpret,
     )
@@ -216,86 +264,116 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 
     dα math (matches backward.cu:442-522 + the background/alpha term):
       dL/dc_i   = w_i · g_col
-      dL/dα_i   = T_i·(c_i·g_col + z_i·g_dep)
-                  − (S_i·g_col + S_i^z·g_dep + T_fin·g_Tfin)/(1−α_i)
-      with suffix sums S_i = C_total − Σ_{j≤i} c_j w_j.
+      dL/dα_i   = T_i·combo_i − (S_i + T_fin·g_T)/(1−α_i)
+      with combo_i = r_i·g_r + g_i·g_g + b_i·g_b + z_i·g_d and the COMBINED
+      suffix sum S_i = Σ_q (C_tot,q − Σ_{j≤i} q_j w_j)·g_q — one prefix scan
+      instead of four because the cotangents are per-pixel constants.
       dL/dpower = α_raw · dL/dα  (uncapped, as the CUDA backward)
       dL/dop    = exp(power)·dL/dα;  conic/mean grads via dpower.
 
-    Boundary chunks shared between consecutive tiles are accumulated
-    read-modify-write against the zero-initialised aliased output.
+    Gradient chunks are written exactly once: the chunk straddling two
+    consecutive tiles' ranges stays in a VMEM accumulator across the tile
+    switch (SMEM-carried ring), so no read-modify-write of HBM is needed.
     """
+    max_off = k_pad - CHUNK
+
+    # SMEM state indices
+    RSLOT, DSLOT, DOFF, WP0, WP1 = 0, 1, 2, 3, 4
 
     def kernel(starts_ref, stops_ref, row_ref, feat_ref, outsv_ref, gout_ref,
-               dzero_ref, dfeat_ref, buf, dbuf, sem, rsem, wsem):
+               dzero_ref, dfeat_ref, buf, dbuf, rsems, wsems, st):
         del dzero_ref  # aliased with dfeat_ref; only the output ref is used
         t = pl.program_id(0)
         start = starts_ref[t]
         stop = stops_ref[t]
-        pxf, pyf = _pixel_coords(t, grid_x, row_ref[0])
-        off0 = (start // CHUNK) * CHUNK
-        n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
 
-        c_tot_r = outsv_ref[0, :, 0:1]
-        c_tot_g = outsv_ref[0, :, 1:2]
-        c_tot_b = outsv_ref[0, :, 2:3]
-        d_tot = outsv_ref[0, :, 3:4]
+        def chunk_of(v):
+            return jnp.minimum((v // CHUNK) * CHUNK, max_off)
+
+        def dma(off, slot):
+            return pltpu.make_async_copy(
+                feat_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+                buf.at[slot], rsems.at[slot],
+            )
+
+        def wdma(slot, off):
+            return pltpu.make_async_copy(
+                dbuf.at[slot],
+                dfeat_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+                wsems.at[slot],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            st[RSLOT] = 0
+            st[DSLOT] = 0
+            st[DOFF] = -1
+            st[WP0] = 0
+            st[WP1] = 0
+            dma(chunk_of(start), 0).start()
+
+        nxt_first = chunk_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
+        pxf, pyf = _pixel_coords(t, grid_x, row_ref[0])
+        off0 = chunk_of(start)
+        n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
+        tri_x = _tri_excl()
+
         t_fin = outsv_ref[0, :, 4:5]
         g_r = gout_ref[0, :, 0:1]
         g_g = gout_ref[0, :, 1:2]
         g_b = gout_ref[0, :, 2:3]
         g_d = gout_ref[0, :, 3:4]
         g_T = gout_ref[0, :, 4:5]
+        # combined total: Σ_q C_tot,q·g_q  [256, 1]
+        ctot_comb = (
+            outsv_ref[0, :, 0:1] * g_r + outsv_ref[0, :, 1:2] * g_g
+            + outsv_ref[0, :, 2:3] * g_b + outsv_ref[0, :, 3:4] * g_d
+        )
+        gT_term = t_fin * g_T
 
-        def body(c, carry):
-            T_v, a_r, a_g, a_b, a_d = carry
+        def cond(carry):
+            c, _, T_v, _ = carry
+            return (c < n_chunks) & (jnp.max(T_v) >= C.T_STOP)
+
+        def body(carry):
+            c, slot, T_v, a_comb = carry
             off = pl.multiple_of(off0 + c * CHUNK, CHUNK)
-            cp = pltpu.make_async_copy(
-                feat_ref.at[:, pl.ds(off, CHUNK)], buf, sem
+            nslot = 1 - slot
+            noff = jnp.where(
+                c + 1 < n_chunks, jnp.minimum(off + CHUNK, max_off),
+                nxt_first,
             )
-            cp.start()
-            # overlap the payload read with the gradient-chunk read
-            rp = pltpu.make_async_copy(
-                dfeat_ref.at[:, pl.ds(off, CHUNK)], dbuf, rsem
-            )
-            rp.start()
-            cp.wait()
-            fbuf = buf[:].astype(jnp.float32)
+            dma(noff, nslot).start()
+            dma(off, slot).wait()
+            cur = buf[slot].astype(jnp.float32)
             alpha, alpha_raw, exp_power, keep, dx, dy = _chunk_alpha(
-                fbuf, pxf, pyf, off, start, stop
+                cur, pxf, pyf, off, start, stop
             )
-            one_minus = 1.0 - alpha
-            p_incl = _prefix_prod(one_minus)
-            t_incl = T_v * p_incl
-            t_excl = T_v * _shift_right(p_incl, 1, 1.0)
+            t_excl, t_incl, one_minus = _transmittance(alpha, T_v, tri_x)
             contrib = t_incl >= C.T_STOP
             w = jnp.where(contrib, alpha * t_excl, 0.0)   # [256, CH]
 
-            r = fbuf[6:7, :]
-            g = fbuf[7:8, :]
-            b = fbuf[8:9, :]
-            z = fbuf[9:10, :]
-            pw_r = _prefix_sum(w * r) + a_r
-            pw_g = _prefix_sum(w * g) + a_g
-            pw_b = _prefix_sum(w * b) + a_b
-            pw_d = _prefix_sum(w * z) + a_d
-            s_r = c_tot_r - pw_r       # suffix sums AFTER instance i
-            s_g = c_tot_g - pw_g
-            s_b = c_tot_b - pw_b
-            s_d = d_tot - pw_d
+            r = cur[6:7, :]
+            g = cur[7:8, :]
+            b = cur[8:9, :]
+            z = cur[9:10, :]
+            combo = r * g_r + g * g_g + b * g_b + z * g_d   # [256, CH]
+            s = w * combo
+            # inclusive prefix = exclusive + own term (reuse the tri matmul)
+            pw = jax.lax.dot_general(
+                s, tri_x, (((1,), (0,)), ((), ())),
+                precision=_HI, preferred_element_type=jnp.float32,
+            ) + s + a_comb
+            S = ctot_comb - pw            # combined suffix AFTER instance i
 
             inv_om = 1.0 / jnp.maximum(one_minus, 1e-6)
-            dalpha_px = (
-                t_excl * (r * g_r + g * g_g + b * g_b + z * g_d)
-                - inv_om * (s_r * g_r + s_g * g_g + s_b * g_b + s_d * g_d)
-                - inv_om * t_fin * g_T
-            )
+            dalpha_px = t_excl * combo - inv_om * (S + gT_term)
             # skipped instances get no gradient (CUDA re-applies skip gates)
             dalpha_px = jnp.where(contrib & keep, dalpha_px, 0.0)
             dpower_px = alpha_raw * dalpha_px
-            ca = fbuf[2:3, :]
-            cb = fbuf[3:4, :]
-            cc = fbuf[4:5, :]
+            ca = cur[2:3, :]
+            cb = cur[3:4, :]
+            cc = cur[4:5, :]
             d_op = jnp.sum(exp_power * dalpha_px, axis=0, keepdims=True)
             d_a = jnp.sum(-0.5 * dx * dx * dpower_px, axis=0, keepdims=True)
             d_b = jnp.sum(-dx * dy * dpower_px, axis=0, keepdims=True)
@@ -312,23 +390,66 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
             grads = jnp.concatenate(
                 [d_x, d_y, d_a, d_b, d_c, d_op, d_r, d_g, d_b2, d_z,
                  zero, zero, zero, zero, zero, zero], axis=0)
-            rp.wait()
-            dbuf[:, :] = dbuf[:, :] + grads
-            wp = pltpu.make_async_copy(
-                dbuf, dfeat_ref.at[:, pl.ds(off, CHUNK)], wsem
-            )
-            wp.start()
-            wp.wait()
 
-            T_new = T_v * jnp.min(
-                jnp.where(contrib, p_incl, 1.0), axis=1, keepdims=True
-            )
-            return (T_new, pw_r[:, -1:], pw_g[:, -1:], pw_b[:, -1:],
-                    pw_d[:, -1:])
+            # gradient-chunk carry: switch accumulators when the window
+            # advances; each chunk is flushed to HBM exactly once
+            @pl.when(st[DOFF] != off)
+            def _():
+                ds_old = st[DSLOT]
 
-        zero = jnp.zeros((N_PIX, 1), jnp.float32)
-        init = (jnp.ones((N_PIX, 1), jnp.float32), zero, zero, zero, zero)
-        jax.lax.fori_loop(0, n_chunks, body, init)
+                @pl.when(st[DOFF] >= 0)
+                def _():
+                    wdma(ds_old, st[DOFF]).start()
+                    st[WP0 + ds_old] = 1
+                    st[DSLOT] = 1 - ds_old
+
+                ds_new = st[DSLOT]
+
+                @pl.when(st[WP0 + ds_new] == 1)
+                def _():
+                    wdma(ds_new, jnp.int32(0)).wait()
+                    st[WP0 + ds_new] = 0
+
+                dbuf[st[DSLOT]] = jnp.zeros(
+                    (FEAT_ROWS, CHUNK), jnp.float32
+                )
+                st[DOFF] = off
+
+            dbuf[st[DSLOT]] = dbuf[st[DSLOT]] + grads
+
+            T_new = jnp.min(
+                jnp.where(contrib, t_incl, T_v), axis=1, keepdims=True
+            )
+            return c + 1, nslot, T_new, pw[:, -1:]
+
+        init = (jnp.int32(0), st[RSLOT],
+                jnp.ones((N_PIX, 1), jnp.float32),
+                jnp.zeros((N_PIX, 1), jnp.float32))
+        c_fin, slot, _, _ = jax.lax.while_loop(cond, body, init)
+
+        @pl.when(c_fin < n_chunks)
+        def _():
+            dma(jnp.int32(0), slot).wait()
+            dma(nxt_first, slot).start()
+
+        st[RSLOT] = slot
+
+        @pl.when(t == num_tiles - 1)
+        def _():
+            @pl.when(st[DOFF] >= 0)
+            def _():
+                wdma(st[DSLOT], st[DOFF]).start()
+                st[WP0 + st[DSLOT]] = 1
+
+            @pl.when(st[WP0] == 1)
+            def _():
+                wdma(jnp.int32(0), jnp.int32(0)).wait()
+
+            @pl.when(st[WP1] == 1)
+            def _():
+                wdma(jnp.int32(1), jnp.int32(0)).wait()
+
+            dma(jnp.int32(0), st[RSLOT]).wait()   # drain the read ring
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -347,11 +468,11 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dfeat [16, K]
         scratch_shapes=[
-            pltpu.VMEM((FEAT_ROWS, CHUNK), feat_dtype),
-            pltpu.VMEM((FEAT_ROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, FEAT_ROWS, CHUNK), feat_dtype),
+            pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((8,), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -360,12 +481,12 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
         out_shape=jax.ShapeDtypeStruct((FEAT_ROWS, k_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            dimension_semantics=("arbitrary",),  # sequential grid: the RMW
-            # boundary-chunk accumulation relies on tile order
+            dimension_semantics=("arbitrary",),  # sequential grid: the
+            # carried boundary-chunk accumulation relies on tile order
         ),
         # operand order: 3 prefetch scalars, feat, outsv, gout, dzeros → the
-        # zeros buffer (index 6) aliases the dfeat output so accumulation
-        # starts from zero
+        # zeros buffer (index 6) aliases the dfeat output so untouched
+        # chunks stay zero
         input_output_aliases={6: 0},
         interpret=interpret,
     )

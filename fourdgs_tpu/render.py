@@ -88,10 +88,12 @@ def render(
     P = xyz.shape[0]
 
     if stage == "fine":
-        t = jnp.broadcast_to(cam.time, (P,))
+        # scalar camera time (the reference broadcasts to [P,1],
+        # gaussian_renderer/__init__.py:52; here the scalar enables the
+        # hexplane temporal-plane matmul fast path)
         xyz, scaling, rotation, opacity, shs = deform_lib.deform(
             params["deform"], cfg.hidden, state.aabb,
-            xyz, scaling, rotation, opacity, shs, t,
+            xyz, scaling, rotation, opacity, shs, cam.time,
         )
     elif stage != "coarse":
         raise ValueError(f"unknown stage {stage!r}")

@@ -16,12 +16,18 @@ sys.path.insert(0, ".")
 
 
 def _sync(out):
-    """True host sync (block_until_ready is a no-op on the remote backend)."""
+    """True host sync (block_until_ready is a no-op on the remote backend).
+
+    Pulls ONE leaf only: dispatch is ordered, so the last computation's
+    completion implies the rest. Pulling every leaf costs one remote
+    round-trip each (~40 ms on the tunnel) and swamps the measurement.
+    """
     import jax
 
     for leaf in jax.tree.leaves(out):
         if hasattr(leaf, "ravel"):
             _ = leaf.ravel()[0].item()
+            return
 
 
 def timeit(fn, *args, iters=20, warmup=3):

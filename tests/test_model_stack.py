@@ -66,6 +66,44 @@ class TestHexPlane:
         f1 = hp.query_hexplane(ones, aabb, xyz, t, 2)
         np.testing.assert_allclose(np.asarray(f1), 1.0, atol=1e-6)
 
+    def test_scalar_time_fast_path_matches_per_point(self):
+        # scalar t triggers the temporal-plane matmul sampler
+        # (hexplane._bilinear_tslice); values and grid gradients must match
+        # the per-point gather path exactly
+        kcfg = KPlanesConfig(resolution=(8, 8, 8, 5), output_coordinate_dim=16)
+        params = hp.init_hexplane(jax.random.key(3), kcfg, (1, 2))
+        params = {k: v * jax.random.uniform(jax.random.key(i), v.shape)
+                  for i, (k, v) in enumerate(params.items())}
+        aabb = jnp.array([[1.2, 1.1, 1.0], [-1.0, -1.2, -1.4]])
+        xyz = jax.random.uniform(jax.random.key(9), (33, 3), minval=-1.5,
+                                 maxval=1.5)
+        for tv in (0.0, 0.37, 1.0):
+            t_vec = jnp.full((33,), tv)
+            t_sc = jnp.float32(tv)
+            a = hp.query_hexplane(params, aabb, xyz, t_vec, 2)
+            b = hp.query_hexplane(params, aabb, xyz, t_sc, 2)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6
+            )
+            ga = jax.grad(lambda p: jnp.sum(
+                hp.query_hexplane(p, aabb, xyz, t_vec, 2) ** 2))(params)
+            gb = jax.grad(lambda p: jnp.sum(
+                hp.query_hexplane(p, aabb, xyz, t_sc, 2) ** 2))(params)
+            for k in ga:
+                np.testing.assert_allclose(
+                    np.asarray(gb[k]), np.asarray(ga[k]),
+                    rtol=1e-4, atol=1e-5, err_msg=k,
+                )
+            # gradient w.r.t. the query points must also agree (flows
+            # through the interpolation-weight matrix)
+            gxa = jax.grad(lambda q: jnp.sum(
+                hp.query_hexplane(params, aabb, q, t_vec, 2) ** 2))(xyz)
+            gxb = jax.grad(lambda q: jnp.sum(
+                hp.query_hexplane(params, aabb, q, t_sc, 2) ** 2))(xyz)
+            np.testing.assert_allclose(
+                np.asarray(gxb), np.asarray(gxa), rtol=1e-4, atol=1e-5
+            )
+
     def test_aabb_normalization_is_reference_inverted(self):
         aabb = jnp.array([[2.0, 2.0, 2.0], [-2.0, -2.0, -2.0]])
         # reference quirk: max → −1, min → +1

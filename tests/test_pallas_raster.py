@@ -60,20 +60,11 @@ def run_tiled(p, cam, sh_degree=3, bg=None, budget=8192):
 
 def kernel_sim_forward(feat, starts, stops, grid_x, num_tiles):
     """Independent NumPy float32 simulation of the forward blend kernel's
-    specified algorithm (window-aligned chunks, Hillis-Steele prefix product,
-    masked-min T carry). Bit-faithful to the Pallas spec up to VPU rounding.
+    specified algorithm (window-aligned chunks, log-space exclusive prefix
+    scan of transmittance, masked-min T carry). Faithful to the Pallas spec
+    up to scan association (np.cumsum vs MXU triangular matmul, ~1e-7).
     """
     CH = PB.CHUNK
-
-    def hs_prefix_prod(x):
-        x = x.copy()
-        s = 1
-        while s < x.shape[1]:
-            sh = np.ones_like(x)
-            sh[:, s:] = x[:, :-s]
-            x = (x * sh).astype(np.float32)
-            s *= 2
-        return x
 
     out = np.zeros((num_tiles, PB.N_PIX, PB.OUT_COLS), np.float32)
     for t in range(num_tiles):
@@ -100,17 +91,18 @@ def kernel_sim_forward(feat, starts, stops, grid_x, num_tiles):
             keep = ((power <= 0) & (alpha >= C.ALPHA_FLOOR)
                     & (g >= start) & (g < stop))
             alpha = np.where(keep, alpha, 0).astype(np.float32)
-            p_incl = hs_prefix_prod((1 - alpha).astype(np.float32))
-            t_incl = (Tv * p_incl).astype(np.float32)
-            t_excl = (Tv * np.concatenate(
-                [np.ones((256, 1), np.float32), p_incl[:, :-1]], 1
-            )).astype(np.float32)
+            one_minus = (1 - alpha).astype(np.float32)
+            lg = np.log(one_minus).astype(np.float32)
+            cum_x = (np.cumsum(lg, axis=1, dtype=np.float32) - lg
+                     ).astype(np.float32)
+            t_excl = (Tv * np.exp(cum_x)).astype(np.float32)
+            t_incl = (t_excl * one_minus).astype(np.float32)
             contrib = t_incl >= C.T_STOP
             w = np.where(contrib, (alpha * t_excl).astype(np.float32), 0)
             for j, row in enumerate((6, 7, 8, 9)):
                 col[:, j] += (w * f[row]).sum(1)
-            Tv = (Tv * np.where(contrib, p_incl, 1).min(1, keepdims=True)
-                  ).astype(np.float32)
+            Tv = np.where(contrib, t_incl, Tv).min(1, keepdims=True
+                                                   ).astype(np.float32)
         out[t, :, :4] = col
         out[t, :, 4] = Tv[:, 0]
     return out
@@ -197,6 +189,112 @@ class TestKernelLogic:
             jnp.asarray([0], np.int32), gx, T, K, True))
         sim = kernel_sim_forward(feat, starts, stops, gx, T)
         np.testing.assert_allclose(out, sim, atol=1e-5)
+
+
+def kernel_sim_backward(feat, starts, stops, gout, grid_x, num_tiles):
+    """NumPy float32 simulation of the backward kernel's spec: re-walk each
+    tile's window chunks, combined-scalar suffix sums, accumulate per-instance
+    grads into dfeat — INDEPENDENT of the carried-boundary-chunk flush logic,
+    so it validates exactly that (each chunk written once, boundary chunks
+    shared between consecutive tiles accumulated in VMEM)."""
+    CH = PB.CHUNK
+    K = feat.shape[1]
+    dfeat = np.zeros((16, K), np.float32)
+    fwd = kernel_sim_forward(feat, starts, stops, grid_x, num_tiles)
+    for t in range(num_tiles):
+        tx, ty = t % grid_x, t // grid_x
+        px = (tx * 16 + np.arange(256) % 16).astype(np.float32)[:, None]
+        py = (ty * 16 + np.arange(256) // 16).astype(np.float32)[:, None]
+        start, stop = int(starts[t]), int(stops[t])
+        off0 = (start // CH) * CH
+        n_chunks = 0 if stop <= start else -(-(stop - off0) // CH)
+        Tv = np.ones((256, 1), np.float32)
+        a_comb = np.zeros((256, 1), np.float32)
+        g_r, g_g, g_b, g_d, g_T = (gout[t, :, j:j + 1] for j in range(5))
+        ctot = (fwd[t, :, 0:1] * g_r + fwd[t, :, 1:2] * g_g
+                + fwd[t, :, 2:3] * g_b + fwd[t, :, 3:4] * g_d)
+        t_fin = fwd[t, :, 4:5]
+        for c in range(n_chunks):
+            if Tv.max() < C.T_STOP:
+                break
+            off = off0 + c * CH
+            f = feat[:, off:off + CH].astype(np.float32)
+            dx = (px - f[0]).astype(np.float32)
+            dy = (py - f[1]).astype(np.float32)
+            power = (-0.5 * (f[2] * dx * dx + f[4] * dy * dy)
+                     - f[3] * dx * dy).astype(np.float32)
+            exp_power = np.exp(power).astype(np.float32)
+            alpha_raw = (f[5] * exp_power).astype(np.float32)
+            alpha = np.minimum(alpha_raw, C.ALPHA_CAP)
+            g = off + np.arange(CH)
+            keep = ((power <= 0) & (alpha >= C.ALPHA_FLOOR)
+                    & (g >= start) & (g < stop))
+            alpha = np.where(keep, alpha, 0).astype(np.float32)
+            one_minus = (1 - alpha).astype(np.float32)
+            lg = np.log(one_minus).astype(np.float32)
+            cum_x = (np.cumsum(lg, 1, dtype=np.float32) - lg).astype(np.float32)
+            t_excl = (Tv * np.exp(cum_x)).astype(np.float32)
+            t_incl = (t_excl * one_minus).astype(np.float32)
+            contrib = t_incl >= C.T_STOP
+            w = np.where(contrib, (alpha * t_excl).astype(np.float32), 0)
+            combo = (f[6] * g_r + f[7] * g_g + f[8] * g_b + f[9] * g_d
+                     ).astype(np.float32)
+            s = (w * combo).astype(np.float32)
+            pw = (np.cumsum(s, 1, dtype=np.float32) + a_comb).astype(np.float32)
+            S = ctot - pw
+            inv_om = 1.0 / np.maximum(one_minus, 1e-6)
+            dalpha = t_excl * combo - inv_om * (S + t_fin * g_T)
+            dalpha = np.where(contrib & keep, dalpha, 0).astype(np.float32)
+            dpow = (alpha_raw * dalpha).astype(np.float32)
+            sl = slice(off, off + CH)
+            dfeat[0, sl] += ((f[2] * dx + f[3] * dy) * dpow).sum(0)
+            dfeat[1, sl] += ((f[4] * dy + f[3] * dx) * dpow).sum(0)
+            dfeat[2, sl] += (-0.5 * dx * dx * dpow).sum(0)
+            dfeat[3, sl] += (-dx * dy * dpow).sum(0)
+            dfeat[4, sl] += (-0.5 * dy * dy * dpow).sum(0)
+            dfeat[5, sl] += (exp_power * dalpha).sum(0)
+            dfeat[6, sl] += (w * g_r).sum(0)
+            dfeat[7, sl] += (w * g_g).sum(0)
+            dfeat[8, sl] += (w * g_b).sum(0)
+            dfeat[9, sl] += (w * g_d).sum(0)
+            a_comb = pw[:, -1:]
+            Tv = np.where(contrib, t_incl, Tv).min(1, keepdims=True
+                                                   ).astype(np.float32)
+    return dfeat
+
+
+class TestKernelBackwardLogic:
+    def test_backward_matches_sim_boundary_straddle(self):
+        # tile ranges straddling CHUNK windows: a boundary chunk is shared by
+        # consecutive tiles — exercises the carried-accumulator flush path
+        rng = np.random.default_rng(11)
+        T, gx, K = 6, 3, 1024
+        lens = [37, 129, 0, 200, 95, 61]
+        starts = np.cumsum([0] + lens[:-1]).astype(np.int32)
+        stops = (starts + np.array(lens)).astype(np.int32)
+        feat = np.zeros((16, K), np.float32)
+        feat[0] = rng.uniform(0, 48, K)
+        feat[1] = rng.uniform(0, 32, K)
+        feat[2] = rng.uniform(0.01, 0.3, K)
+        feat[3] = rng.uniform(-0.05, 0.05, K)
+        feat[4] = rng.uniform(0.01, 0.3, K)
+        feat[5] = rng.uniform(0.002, 0.9, K)
+        feat[6:10] = rng.uniform(0, 1, (4, K))
+        gout = rng.uniform(-1, 1, (T, 256, 8)).astype(np.float32)
+        gout[:, :, 5:] = 0.0
+
+        jfeat = jnp.asarray(feat)
+        jstarts = jnp.asarray(starts)
+        jstops = jnp.asarray(stops)
+        row = jnp.asarray([0], np.int32)
+
+        out, vjp = jax.vjp(
+            lambda f: PB.blend_pallas(f, jstarts, jstops, row, gx, T, K, True),
+            jfeat,
+        )
+        dfeat = np.asarray(vjp(jnp.asarray(gout))[0])
+        sim = kernel_sim_backward(feat, starts, stops, gout, gx, T)
+        np.testing.assert_allclose(dfeat, sim, rtol=1e-4, atol=1e-4)
 
 
 class TestPallasForwardParity:

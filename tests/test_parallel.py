@@ -165,8 +165,14 @@ class TestShardedTrainer:
         np.testing.assert_allclose(
             np.asarray(sn.max_radii2d), np.asarray(s1.max_radii2d)
         )
-        # Adam moments too
+        # Adam moments too. atol: slab-local binning places instances at
+        # different CHUNK-window lanes than the single-device layout, so the
+        # blend kernels' log-space scans associate differently (~1e-6
+        # relative on weights); the xyz gradient is a small residual of
+        # cancelling per-pixel terms, which amplifies that to ~1e-5 absolute
+        # on a handful of elements. The flush/boundary logic itself is
+        # validated exactly in test_pallas_raster.py::TestKernelBackwardLogic.
         np.testing.assert_allclose(
             np.asarray(an.mu["xyz"]), np.asarray(a1.mu["xyz"]),
-            rtol=2e-4, atol=1e-8,
+            rtol=2e-4, atol=5e-5,
         )
