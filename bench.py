@@ -96,6 +96,9 @@ def build_workload(height=800, width=800, n_points=60_000, capacity=65_536,
 def main():
     import jax
 
+    from fourdgs_tpu.utils import compile_cache
+    compile_cache.enable()
+
     height = width = 800
     batch = 1
     warmup, iters = 3, 20

@@ -98,51 +98,6 @@ def _bilinear_plane(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     )
 
 
-@jax.custom_vjp
-def _bilinear_plane_mxu(plane, u, v):
-    """_bilinear_plane with a scatter-free backward for the plane gradient.
-
-    Forward and coordinate gradients are the plain gather-based expressions
-    (exact parity with autodiff of :func:`_bilinear_plane`); the plane
-    gradient — classically a 4-corner scatter-add, ~0.46 ms per corner on
-    XLA TPU — is computed by the separable MXU accumulation kernel
-    (fourdgs_tpu.ops.plane_scatter).
-    """
-    return _bilinear_plane(plane, u, v)
-
-
-def _bpm_fwd(plane, u, v):
-    return _bilinear_plane(plane, u, v), (plane, u, v)
-
-
-def _bpm_bwd(res, dout):
-    plane, u, v = res
-    # coordinate grads via autodiff with the plane frozen → gathers only
-    _, uv_vjp = jax.vjp(
-        lambda uu, vv: _bilinear_plane(
-            jax.lax.stop_gradient(plane), uu, vv
-        ),
-        u, v,
-    )
-    du, dv = uv_vjp(dout)
-    Ra, Rb, _ = plane.shape
-    x = jnp.clip((u + 1.0) * 0.5 * (Ra - 1), 0.0, Ra - 1)
-    y = jnp.clip((v + 1.0) * 0.5 * (Rb - 1), 0.0, Rb - 1)
-    x0f = jnp.clip(jnp.floor(x), 0, Ra - 1)
-    y0f = jnp.clip(jnp.floor(y), 0, Rb - 1)
-    from fourdgs_tpu.ops.plane_scatter import plane_grad
-
-    dplane = plane_grad(
-        x0f.astype(jnp.int32), y0f.astype(jnp.int32),
-        x - x0f, y - y0f, dout.astype(jnp.float32), Ra, Rb,
-        jax.default_backend() == "cpu",
-    ).astype(plane.dtype)
-    return dplane, du, dv
-
-
-_bilinear_plane_mxu.defvjp(_bpm_fwd, _bpm_bwd)
-
-
 def _bilinear_tslice(plane: jnp.ndarray, u: jnp.ndarray, t: jnp.ndarray):
     """Temporal plane [Ra, Rt, F] sampled at per-point u and a SHARED t.
 
@@ -224,11 +179,6 @@ def query_hexplane(
             plane = params[f"grid_s{s}_p{p}"]
             if t_scalar and comb[1] == 3:
                 v = _bilinear_tslice(plane, pts[:, comb[0]], t)
-            elif comb[1] != 3:
-                # spatial plane: scatter-free MXU plane gradient
-                v = _bilinear_plane_mxu(
-                    plane, pts[:, comb[0]], pts[:, comb[1]]
-                )
             else:
                 v = _bilinear_plane(plane, pts[:, comb[0]], pts[:, comb[1]])
             prod = v if prod is None else prod * v

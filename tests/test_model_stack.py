@@ -66,33 +66,6 @@ class TestHexPlane:
         f1 = hp.query_hexplane(ones, aabb, xyz, t, 2)
         np.testing.assert_allclose(np.asarray(f1), 1.0, atol=1e-6)
 
-    def test_mxu_plane_backward_matches_autodiff(self):
-        # the scatter-free plane gradient (ops/plane_scatter.py) must match
-        # plain autodiff of the gather-based bilinear sample exactly,
-        # including border-clamped points
-        rng = np.random.default_rng(7)
-        plane = jnp.asarray(rng.uniform(0, 1, (9, 13, 8)), jnp.float32)
-        u = jnp.asarray(rng.uniform(-1.3, 1.3, (77,)), jnp.float32)
-        v = jnp.asarray(rng.uniform(-1.3, 1.3, (77,)), jnp.float32)
-        cot = jnp.asarray(rng.normal(size=(77, 8)), jnp.float32)
-
-        def loss(fn, p, uu, vv):
-            return jnp.sum(fn(p, uu, vv) * cot)
-
-        g_ref = jax.grad(
-            lambda p, uu, vv: loss(hp._bilinear_plane, p, uu, vv),
-            argnums=(0, 1, 2),
-        )(plane, u, v)
-        g_mxu = jax.grad(
-            lambda p, uu, vv: loss(hp._bilinear_plane_mxu, p, uu, vv),
-            argnums=(0, 1, 2),
-        )(plane, u, v)
-        for a, b, nm in zip(g_mxu, g_ref, ("plane", "u", "v")):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
-                err_msg=nm,
-            )
-
     def test_scalar_time_fast_path_matches_per_point(self):
         # scalar t triggers the temporal-plane matmul sampler
         # (hexplane._bilinear_tslice); values and grid gradients must match
