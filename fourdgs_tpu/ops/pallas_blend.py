@@ -77,7 +77,7 @@ def _pixel_coords(t, grid_x, row_offset=0):
 
     ``row_offset`` shifts the tile row — used by the tile-row-sharded
     multi-chip path where each device rasterizes a horizontal slab of the
-    image but tile indices are slab-local (fourdgs_tpu.parallel.sp).
+    image but tile indices are slab-local (fourdgs_tpu.parallel.trainer).
     """
     tx = t % grid_x
     ty = t // grid_x + row_offset

