@@ -186,3 +186,101 @@ class GradientTracker:
         fig.savefig(path, dpi=100)
         plt.close(fig)
         return path
+
+
+def gradient_timeline(
+    cfg, state, camera, gt_chw, model_path: str,
+    time_points=None, max_points: int = 2000, stage: str = "fine",
+):
+    """Per-timestamp gradient timeline (gradient_tracker.py:817-900).
+
+    The reference re-runs render+backward at 10 timestamps through the same
+    camera at end of run and plots |∇xyz| over the deformed positions per t.
+    Here each timestamp is one jitted value_and_grad of the L1 loss; the
+    timeline goes to gradient_timeline.json + a matplotlib panel grid
+    (replacing the reference's plotly slider figure).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fourdgs_tpu.render import CameraArrays, render as render_fn
+    from fourdgs_tpu.utils import losses
+
+    if time_points is None:
+        time_points = [i * 0.1 for i in range(10)]
+    bg = jnp.array([1.0, 1.0, 1.0] if cfg.model.white_background
+                   else [0.0, 0.0, 0.0])
+    gt = jnp.asarray(np.asarray(gt_chw, np.float32)[:3])
+    h, w = gt.shape[-2:]
+    sh_deg = int(state.active_sh_degree)
+    cam0 = CameraArrays.from_camera(camera)
+
+    @jax.jit
+    def loss_and_grad(params, st, cam):
+        def f(p):
+            out = render_fn(p, st, cam, cfg, w, h, stage, bg, sh_deg)
+            return losses.l1_loss(out.color, gt)
+        return jax.value_and_grad(f)(params)
+
+    from fourdgs_tpu.models import deformation as deform_lib
+
+    @jax.jit
+    def deformed_xyz(params, st, t):
+        tt = jnp.broadcast_to(jnp.float32(t), (params["xyz"].shape[0],))
+        from fourdgs_tpu.models import gaussians as G
+
+        xyz, *_ = deform_lib.deform(
+            params["deform"], cfg.hidden, st.aabb,
+            params["xyz"], params["scaling"], params["rotation"],
+            params["opacity"], G.get_features(params), tt,
+        )
+        return xyz
+
+    alive = np.asarray(state.alive, bool)
+    records = []
+    panels = []
+    for t in time_points:
+        cam_t = cam0._replace(time=jnp.float32(t))
+        loss, grads = loss_and_grad(state.params, state, cam_t)
+        gnorm = np.asarray(
+            jnp.linalg.norm(grads["xyz"], axis=-1)
+        )[alive]
+        xyz_t = np.asarray(deformed_xyz(state.params, state, t))[alive]
+        records.append({
+            "t": float(t),
+            "loss": float(loss),
+            "grad_norm_mean": float(gnorm.mean()),
+            "grad_norm_max": float(gnorm.max()),
+            "n_points": int(alive.sum()),
+        })
+        panels.append((float(t), xyz_t, gnorm))
+
+    os.makedirs(model_path, exist_ok=True)
+    json_path = os.path.join(model_path, "gradient_timeline.json")
+    with open(json_path, "w") as f:
+        json.dump(records, f, indent=1)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(panels)
+    cols = min(n, 5)
+    rows = -(-n // cols)
+    fig = plt.figure(figsize=(3.2 * cols, 3.2 * rows))
+    rng = np.random.default_rng(0)
+    for i, (t, xyz_t, gnorm) in enumerate(panels):
+        if len(xyz_t) > max_points:
+            sel = rng.choice(len(xyz_t), max_points, replace=False)
+            xyz_t, gnorm = xyz_t[sel], gnorm[sel]
+        ax = fig.add_subplot(rows, cols, i + 1, projection="3d")
+        sc = ax.scatter(xyz_t[:, 0], xyz_t[:, 1], xyz_t[:, 2],
+                        c=np.log10(gnorm + 1e-12), s=1.5, cmap="viridis")
+        ax.set_title(f"t={t:.1f}", fontsize=8)
+        ax.tick_params(labelsize=5)
+    fig.colorbar(sc, ax=fig.axes, shrink=0.5, label="log10 |∇xyz|")
+    png_path = os.path.join(model_path, "gradient_timeline.png")
+    fig.savefig(png_path, dpi=100)
+    plt.close(fig)
+    return json_path, png_path

@@ -244,6 +244,7 @@ class TestGrow:
 
 
 class TestSimplifiedRGB:
+    @pytest.mark.slow
     def test_sh_degree_zero_end_to_end(self):
         # Instant4D simplified RGB: sh_degree=0 → f_rest is [P,0,3]
         from tests.test_training import make_gt_scene, tiny_cfg
@@ -267,3 +268,172 @@ class TestSimplifiedRGB:
             cameras_extent=3.0, log_interval=10,
         )
         assert np.isfinite(log.iterations[-1]["loss"])
+
+
+class TestLPIPS:
+    """Native JAX LPIPS port (vendored-net equivalent of the reference's
+    lpipsPyTorch). Pretrained weights are not fetchable offline, so these
+    validate the architecture with random-init weights in the npz layout."""
+
+    @pytest.mark.parametrize("net", ["alex", "vgg"])
+    def test_distance_properties(self, net):
+        from fourdgs_tpu.utils import lpips as L
+
+        w = L.random_weights(net, seed=3)
+        d = L.make_lpips(w, net)
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (3, 64, 64)).astype(np.float32)
+        y = rng.uniform(0, 1, (3, 64, 64)).astype(np.float32)
+        assert float(d(x, x)) == pytest.approx(0.0, abs=1e-9)
+        dxy = float(d(x, y))
+        assert dxy > 0
+        assert float(d(y, x)) == pytest.approx(dxy, rel=1e-5)
+
+    def test_npz_roundtrip(self, tmp_path):
+        from fourdgs_tpu.utils import lpips as L
+
+        w = L.random_weights("alex", seed=1)
+        p = tmp_path / "lpips_alex.npz"
+        np.savez_compressed(p, **w)
+        w2 = L.load_weights("alex", path=str(p))
+        assert set(w2) == set(w)
+        d = L.make_lpips(w2, "alex")
+        x = np.random.default_rng(2).uniform(0, 1, (3, 48, 48)).astype(
+            np.float32
+        )
+        assert np.isfinite(float(d(x, x * 0.5)))
+
+    def test_missing_weights_returns_none(self):
+        from fourdgs_tpu.utils import lpips as L
+
+        assert L.load_weights("vgg", path="/nonexistent/file.npz") is None
+
+
+class TestObservability:
+    """Tensorboard-class event stream (reference train.py:488-538)."""
+
+    def test_scalars_histograms_images(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from fourdgs_tpu.configs.core import KPlanesConfig, load_config
+        from fourdgs_tpu.models import gaussians as G
+        from fourdgs_tpu.utils.observability import (
+            EventLog, log_scene_stats, read_events,
+        )
+
+        ev = EventLog(str(tmp_path))
+        ev.add_scalar("fine/train_loss_patches/l1_loss", 0.12, 100)
+        ev.add_histogram("fine/scene/opacity_histogram",
+                         np.random.default_rng(0).uniform(0, 1, 500), 100)
+        ev.add_image("fine/test_view_0/render",
+                     np.random.default_rng(1).uniform(0, 1, (3, 16, 16)), 100)
+
+        cfg = load_config()
+        cfg.tpu.capacity = 64
+        cfg.hidden.kplanes_config = KPlanesConfig(
+            resolution=(4, 4, 4, 2), output_coordinate_dim=4
+        )
+        cfg.hidden.multires = (1,)
+        cfg.hidden.net_width = 8
+        rng = np.random.default_rng(2)
+        state = G.create_from_pcd(
+            jax.random.key(0), cfg,
+            rng.uniform(-1, 1, (32, 3)).astype(np.float32),
+            rng.uniform(0, 1, (32, 3)).astype(np.float32), 1.0,
+        )
+        log_scene_stats(ev, state, "fine", 100)
+        ev.close()
+
+        events = read_events(str(tmp_path))
+        tags = {e["tag"] for e in events}
+        assert "fine/train_loss_patches/l1_loss" in tags
+        assert "fine/scene/opacity_histogram" in tags
+        assert "fine/scene/motion_histogram" in tags
+        assert "fine/total_points" in tags
+        assert "fine/deformation_rate" in tags
+        import os
+        assert os.listdir(tmp_path / "eval_images")
+
+        # the plotter renders the stream without error
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "plot_events",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "plot_events.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main(["--model_path", str(tmp_path)])
+        assert os.path.exists(tmp_path / "plots" / "scalars.png")
+        assert os.path.exists(tmp_path / "plots" / "histograms.png")
+
+
+class TestGradientTimeline:
+    """Per-timestamp gradient timeline + offline analyzer
+    (reference gradient_tracker.py:817+, analyze_gradients.py)."""
+
+    def test_timeline_and_analyzer(self, tmp_path):
+        import jax
+
+        from fourdgs_tpu.configs.core import KPlanesConfig, load_config
+        from fourdgs_tpu.models import gaussians as G
+        from fourdgs_tpu.utils.gradient_tracker import (
+            GradientTracker, gradient_timeline,
+        )
+        from tests.test_math_core import look_at_camera
+
+        cfg = load_config()
+        cfg.tpu.backend = "tile"
+        cfg.tpu.capacity = 64
+        cfg.tpu.instance_budget = 2048
+        cfg.tpu.tile_budget = 128
+        cfg.tpu.blend_chunk = 64
+        cfg.hidden.kplanes_config = KPlanesConfig(
+            resolution=(4, 4, 4, 2), output_coordinate_dim=4
+        )
+        cfg.hidden.multires = (1,)
+        cfg.hidden.net_width = 8
+        cfg.hidden.defor_depth = 0
+        cfg.hidden.no_dx = False
+        cfg.model.sh_degree = 0
+        rng = np.random.default_rng(0)
+        state = G.create_from_pcd(
+            jax.random.key(0), cfg,
+            rng.uniform(-0.5, 0.5, (24, 3)).astype(np.float32),
+            rng.uniform(0, 1, (24, 3)).astype(np.float32), 1.0,
+        )
+        cam = look_at_camera([0, 0.3, -3], [0, 0, 0], width=32, height=32)
+        gt = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+        jp, pp = gradient_timeline(
+            cfg, state, cam, gt, str(tmp_path),
+            time_points=[0.0, 0.5, 1.0],
+        )
+        rows = json.load(open(jp))
+        assert len(rows) == 3
+        assert all(np.isfinite(r["loss"]) for r in rows)
+        assert all(r["grad_norm_max"] >= 0 for r in rows)
+        assert os.path.exists(pp)
+
+        # analyzer over a synthetic report
+        tr = GradientTracker(str(tmp_path))
+        for i in range(20):
+            tr.record(i * 10, "fine", {
+                "xyz": {"norm": 1e-3 * (0.9 ** i)},
+                "grid": {"norm": 1e-12},
+            })
+        tr.generate_report()
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "analyze_gradients",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "analyze_gradients.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert mod.main(["--model_path", str(tmp_path)]) == 0
+        res = json.load(open(tmp_path / "gradient_analysis.json"))
+        assert "grid" in res["vanishing"]
+        assert res["groups"]["xyz"]["status"] in (
+            "healthy", "decaying-fast"
+        )

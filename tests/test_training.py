@@ -82,6 +82,7 @@ def make_gt_scene(n=24, seed=0, moving=False):
 
 
 class TestCoarseTraining:
+    @pytest.mark.slow
     def test_loss_decreases_and_psnr_improves(self):
         cfg = tiny_cfg()
         gt, cams = make_gt_scene()
@@ -103,6 +104,7 @@ class TestCoarseTraining:
         assert last["psnr"] > first["psnr"] + 2.0
         assert np.isfinite(last["loss"])
 
+    @pytest.mark.slow
     def test_densification_fires(self):
         cfg = tiny_cfg()
         cfg.opt.densify_grad_threshold_coarse = 1e-7  # force clones/splits
@@ -123,6 +125,7 @@ class TestCoarseTraining:
 
 
 class TestFineTraining:
+    @pytest.mark.slow
     def test_fine_stage_with_deformation(self):
         cfg = tiny_cfg()
         cfg.hidden.no_dx = False  # enable position deformation
@@ -163,3 +166,90 @@ class TestFineTraining:
             cameras_extent=3.0, log_interval=5,
         )
         assert len(log.iterations) > 0
+
+
+class TestAuxWiring:
+    """debug_mode / render_process / viewer actually wired into the loop
+    (VERDICT r2 #5: the reference drives these from train.py:117-142,
+    212-219, 325-331)."""
+
+    @pytest.mark.slow
+    def test_debug_and_progress_images_written(self, tmp_path):
+        import os
+
+        cfg = tiny_cfg()
+        cfg.model.render_process = True
+        gt, cams = make_gt_scene()
+        state = G.create_from_pcd(
+            jax.random.key(0), cfg, np.asarray(gt["means3d"]),
+            np.full((24, 3), 0.5, np.float32), 1.0,
+        )
+        opt_state = adam.init(state.params)
+        scene_reconstruction(
+            cfg, state, opt_state, cams, "coarse", 100,
+            cameras_extent=3.0, log_interval=50,
+            debug_mode=True, model_path=str(tmp_path),
+        )
+        dbg = os.listdir(tmp_path / "debug_images")
+        assert any(f.startswith("coarse_000100") for f in dbg)
+        prog = os.listdir(tmp_path / "train_render" / "coarsetest")
+        assert len(prog) >= 9  # dense early schedule: every 10th iter
+
+    def test_viewer_polled_from_loop(self):
+        import json as json_lib
+        import socket
+        import threading
+
+        from fourdgs_tpu.viewer import NetworkGUI
+
+        cfg = tiny_cfg()
+        gt, cams = make_gt_scene()
+        state = G.create_from_pcd(
+            jax.random.key(0), cfg, np.asarray(gt["means3d"]),
+            np.full((24, 3), 0.5, np.float32), 1.0,
+        )
+        opt_state = adam.init(state.params)
+        gui = NetworkGUI(port=0)
+        port = gui.listener.getsockname()[1]
+        result = {}
+
+        def client():
+            c = socket.create_connection(("127.0.0.1", port), timeout=30)
+            msg = {
+                "resolution_x": 48, "resolution_y": 48,
+                "train": True, "fov_y": 0.8, "fov_x": 0.8,
+                "z_near": 0.01, "z_far": 100.0,
+                "shs_python": False, "rot_scale_python": False,
+                "keep_alive": False, "scaling_modifier": 1.0,
+                "view_matrix": list(np.eye(4).flatten().astype(float)),
+                "view_projection_matrix":
+                    list(np.eye(4).flatten().astype(float)),
+            }
+            payload = json_lib.dumps(msg).encode()
+            c.sendall(len(payload).to_bytes(4, "little"))
+            c.sendall(payload)
+            buf = b""
+            need = 48 * 48 * 3
+            while len(buf) < need:
+                chunk = c.recv(need - len(buf))
+                if not chunk:
+                    break
+                buf += chunk
+            result["img_len"] = len(buf)
+            n = int.from_bytes(c.recv(4), "little")
+            result["verify"] = c.recv(n).decode()
+            c.close()
+
+        t = threading.Thread(target=client)
+        t.start()
+        try:
+            scene_reconstruction(
+                cfg, state, opt_state, cams, "coarse", 12,
+                cameras_extent=3.0, log_interval=6,
+                viewer=gui, source_path="/synthetic/scene",
+            )
+            t.join(timeout=30)
+            assert result.get("img_len") == 48 * 48 * 3
+            assert result.get("verify") == "/synthetic/scene"
+        finally:
+            gui.close()
