@@ -73,13 +73,37 @@ def msssim(img1, img2, levels=5):
 
 
 def try_lpips():
-    """LPIPS nets need pretrained weights; unavailable offline → None."""
+    """LPIPS distance functions, preferring the native JAX port.
+
+    Order: (1) fourdgs_tpu.utils.lpips with converted pretrained weights
+    (see scripts/convert_lpips_weights.py — the vendored-net equivalent of
+    the reference's lpipsPyTorch/modules/lpips.py:8-36); (2) the optional
+    external ``lpips`` package; (3) None → null columns.
+    Returned callables take [3,H,W] float images in [0,1].
+    """
+    from fourdgs_tpu.utils import lpips as ljax
+
+    nets = {}
+    for net in ("vgg", "alex"):
+        w = ljax.load_weights(net)
+        if w is not None:
+            nets[net] = ljax.make_lpips(w, net)
+    if nets:
+        return nets
     try:
         import lpips  # noqa
+        import torch
+
+        def wrap(m):
+            def f(a, b):
+                ta = torch.from_numpy(np.asarray(a))[None] * 2 - 1
+                tb = torch.from_numpy(np.asarray(b))[None] * 2 - 1
+                return float(m(ta, tb))
+            return f
 
         return {
-            "vgg": lpips.LPIPS(net="vgg"),
-            "alex": lpips.LPIPS(net="alex"),
+            "vgg": wrap(lpips.LPIPS(net="vgg")),
+            "alex": wrap(lpips.LPIPS(net="alex")),
         }
     except Exception:
         return None
@@ -114,27 +138,41 @@ def evaluate(model_paths):
             base = os.path.join(test_dir, method)
             renders = read_images(os.path.join(base, "renders"))
             gts = read_images(os.path.join(base, "gt"))
+            masks = None
+            mdir = os.path.join(base, "masks")
+            if os.path.isdir(mdir):
+                # covisible masks saved by render.py → masked PSNR
+                # (image_utils.py:16-38 semantics)
+                from fourdgs_tpu.utils.losses import masked_psnr
+                from PIL import Image
+
+                masks = [
+                    np.asarray(Image.open(os.path.join(mdir, f)).convert("L"),
+                               np.float32)
+                    for f in sorted(os.listdir(mdir)) if f.endswith(".png")
+                ]
             rows = []
-            for r, g in zip(renders, gts):
+            for vi, (r, g) in enumerate(zip(renders, gts)):
                 rj = jnp.asarray(r.transpose(2, 0, 1))[None]
                 gj = jnp.asarray(g.transpose(2, 0, 1))[None]
                 ms = msssim(rj, gj)
                 row = {
-                    "PSNR": float(psnr_fn(rj, gj)[0]),
+                    "PSNR": (
+                        float(masked_psnr(rj[0], gj[0],
+                                          jnp.asarray(masks[vi])))
+                        if masks and vi < len(masks)
+                        else float(psnr_fn(rj, gj)[0])
+                    ),
                     "SSIM": float(ssim_fn(rj, gj)),
                     "MS-SSIM": ms,
                     "D-SSIM": (1.0 - ms) / 2.0,
                 }
-                if lpips_nets:
-                    import torch
-
-                    rt = torch.from_numpy(r.transpose(2, 0, 1))[None] * 2 - 1
-                    gt = torch.from_numpy(g.transpose(2, 0, 1))[None] * 2 - 1
-                    row["LPIPS-vgg"] = float(lpips_nets["vgg"](rt, gt))
-                    row["LPIPS-alex"] = float(lpips_nets["alex"](rt, gt))
-                else:
-                    row["LPIPS-vgg"] = None
-                    row["LPIPS-alex"] = None
+                for net in ("vgg", "alex"):
+                    fn = (lpips_nets or {}).get(net)
+                    row[f"LPIPS-{net}"] = (
+                        float(fn(r.transpose(2, 0, 1), g.transpose(2, 0, 1)))
+                        if fn else None
+                    )
                 rows.append(row)
             if not rows:
                 continue
