@@ -10,10 +10,18 @@ Parity target: scene/hyper_loader.py + readHyperDataInfos in the reference:
 - pose: R = orientationᵀ, T = −position·R (hyper_loader.py:160-161);
   FoV from focal_length at the ratio-scaled resolution
 - images at rgb/<1/ratio>x/<id>.png (default ratio 0.5 ⇒ rgb/2x);
-  covisible/2x/val masks used for test PSNR when present
+  covisible/2x/val masks attached to test cameras and consumed by the
+  masked test PSNR (train.py eval + metrics.py)
+- video split: slerp+lerp smoothed camera path (hyper_loader.py:108-116)
 
-Like the reference, the rasterized camera is the pinhole part of the Nerfies
-model (distortion is baked into the released rgb images' rectification).
+Like the reference's rasterization path, the rendered camera is the pinhole
+part of the Nerfies model: the reference parses the distortion coefficients
+into scene/utils.py Camera objects but builds CameraInfo from
+orientation/position/focal only (hyper_loader.py:160-164), i.e. radial/
+tangential terms never reach the rasterizer — the released rgb/2x images
+are rectified. The full distortion camera (project/undistort/pixel-to-ray,
+scene/utils.py:98-428) lives in fourdgs_tpu.data.nerfies_camera for the
+preprocessing tools.
 """
 
 from __future__ import annotations
@@ -63,6 +71,8 @@ def load_hypernerf_scene(path: str, cfg=None, ratio: float = 0.5) -> SceneData:
     covis_dir = os.path.join(path, "covisible", "2x", "val")
     has_covis = os.path.isdir(covis_dir)
 
+    poses: dict[int, tuple] = {}  # idx → (orientation, position, focal, w, h)
+
     def make(idx, with_mask=False):
         img_id = all_ids[idx]
         with open(os.path.join(path, "camera", f"{img_id}.json")) as f:
@@ -72,6 +82,7 @@ def load_hypernerf_scene(path: str, cfg=None, ratio: float = 0.5) -> SceneData:
         focal = float(cj["focal_length"]) * ratio
         W0, H0 = cj["image_size"]
         w, h = int(W0 * ratio), int(H0 * ratio)
+        poses[idx] = (orientation, position, focal, w, h)
         R = orientation.T
         T = -position @ R
         fovx = graphics.focal2fov(focal, w)
@@ -86,7 +97,31 @@ def load_hypernerf_scene(path: str, cfg=None, ratio: float = 0.5) -> SceneData:
 
     train = [make(i) for i in i_train]
     test = [make(i, with_mask=True) for i in i_test]
-    video = [lc.camera for lc in test]
+
+    # video split: slerp+lerp smoothed path over the camera poses
+    # (generate_video_path → smooth_camera_poses, hyper_loader.py:108-116
+    # with utils/pose_utils.py:35-67; capped at 500 poses like the ref)
+    key_idx = list(i_train)
+    Rs = [poses[i][0] for i in key_idx]
+    ps = [poses[i][1] for i in key_idx]
+    video = []
+    if len(Rs) >= 2:
+        from fourdgs_tpu.utils.pose_utils import smooth_camera_poses
+
+        sR, sp, _ = smooth_camera_poses(Rs, ps, num_interpolations=10)
+        sR, sp = sR[:500], sp[:500]
+        _, _, focal, w, h = poses[key_idx[0]]
+        fovx = graphics.focal2fov(focal, w)
+        fovy = graphics.focal2fov(focal, h)
+        n_v = len(sR)
+        for k, (Rk, pk) in enumerate(zip(sR, sp)):
+            R = Rk.T
+            T = -pk @ R
+            video.append(graphics.make_camera(
+                R, T, fovx, fovy, w, h, time=k / max(n_v - 1, 1)
+            ))
+    else:
+        video = [lc.camera for lc in test]
 
     # init cloud: points.npy (Nerfies) or points3D_downsample.ply
     pts_npy = os.path.join(path, "points.npy")

@@ -7,9 +7,9 @@ the reference (scene/dataset_readers.py:522-632):
   (3×3), extrinsics ``w2c`` (4×4), file names ``fn``, cam ids; frames under
   ims/; time = timestep / n_timesteps
 - camera built directly from K + w2c with znear 0.01 / zfar 100
-  (setup_camera, :522-547): fovx = 2·atan(w/2fx), principal point offsets
-  folded into the projection (here: principal point assumed centered, the
-  dominant case for the released data)
+  (setup_camera, :522-547): tanfov = w/(2fx), principal-point offsets
+  (cx, cy) folded into the projection matrix exactly as the reference's
+  opengl_proj — off-center captures render unshifted
 - init cloud from init_pt_cld.npz ``data[:, :3]`` xyz + ``[:, 3:6]`` rgb
 - scene radius = 1.1 · max camera-center spread of timestep 0
 """
@@ -37,16 +37,8 @@ def _read_meta(datadir: str, json_path: str):
         time = index / n_t
         for K, w2c, fn in zip(meta["k"][index], meta["w2c"][index],
                               meta["fn"][index]):
-            K = np.asarray(K, np.float64)
-            w2c = np.asarray(w2c, np.float64)
-            fovx = 2.0 * np.arctan(w / (2.0 * K[0][0]))
-            fovy = 2.0 * np.arctan(h / (2.0 * K[1][1]))
-            # w2c → (R, T) in the project convention: R = camera-to-world
-            # rotation, T = COLMAP-style translation
-            R = w2c[:3, :3].T
-            T = w2c[:3, 3]
-            cam = graphics.make_camera(
-                R, T, fovx, fovy, w, h, time=time, znear=0.01, zfar=100.0
+            cam = graphics.make_camera_from_k(
+                K, w2c, w, h, time=time, znear=0.01, zfar=100.0
             )
             cams.append(LoadedCamera(
                 camera=cam,

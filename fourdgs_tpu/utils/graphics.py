@@ -75,6 +75,65 @@ def projection_matrix(
     return P.T.astype(np.float32)
 
 
+def projection_matrix_from_intrinsics(
+    znear: float, zfar: float,
+    fx: float, fy: float, cx: float, cy: float,
+    width: int, height: int,
+) -> np.ndarray:
+    """Projection from a pinhole K with (possibly off-center) principal
+    point, transposed (row-vector) convention.
+
+    Parity: setup_camera's opengl_proj (scene/dataset_readers.py:528-532):
+    the (cx, cy) offsets fold into the [0,2]/[1,2] entries
+    -(w-2cx)/w and -(h-2cy)/h; centered principal point reduces to
+    :func:`projection_matrix`.
+    """
+    P = np.zeros((4, 4), dtype=np.float64)
+    P[0, 0] = 2.0 * fx / width
+    P[0, 2] = -(width - 2.0 * cx) / width
+    P[1, 1] = 2.0 * fy / height
+    P[1, 2] = -(height - 2.0 * cy) / height
+    P[2, 2] = zfar / (zfar - znear)
+    P[2, 3] = -(zfar * znear) / (zfar - znear)
+    P[3, 2] = 1.0
+    return P.T.astype(np.float32)
+
+
+def make_camera_from_k(
+    K: np.ndarray,
+    w2c: np.ndarray,
+    width: int,
+    height: int,
+    time: float = 0.0,
+    znear: float = 0.01,
+    zfar: float = 100.0,
+) -> "Camera":
+    """Camera directly from intrinsics K + extrinsics w2c, principal-point
+    offsets folded into the projection (setup_camera,
+    scene/dataset_readers.py:522-547)."""
+    K = np.asarray(K, np.float64)
+    w2c = np.asarray(w2c, np.float64)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    wv = w2c.T.astype(np.float32)  # row-vector convention
+    proj = projection_matrix_from_intrinsics(
+        znear, zfar, fx, fy, cx, cy, width, height
+    )
+    full = (wv.astype(np.float64) @ proj.astype(np.float64)).astype(
+        np.float32
+    )
+    cam_center = np.linalg.inv(w2c)[:3, 3].astype(np.float32)
+    return Camera(
+        world_view=wv,
+        full_proj=full,
+        camera_center=cam_center,
+        tanfovx=float(width / (2.0 * fx)),
+        tanfovy=float(height / (2.0 * fy)),
+        width=int(width),
+        height=int(height),
+        time=float(time),
+    )
+
+
 def ndc2pix(v, size):
     """NDC [-1,1] → continuous pixel coordinate ((v+1)·S − 1)/2.
 

@@ -33,6 +33,23 @@ def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-20)))
 
 
+def masked_psnr(pred: jnp.ndarray, gt: jnp.ndarray,
+                mask: jnp.ndarray) -> jnp.ndarray:
+    """PSNR over mask≠0 pixels only (utils/image_utils.py:16-38).
+
+    pred/gt: [C, H, W]; mask: [H, W] (or [1, H, W]) — the HyperNeRF
+    covisible masks select pixels visible from the training cameras
+    (hyper_loader.py:102-105). One MSE over all selected elements across
+    channels, as the reference's flatten+boolean-select computes.
+    """
+    if mask.ndim == 3:
+        mask = mask[0]
+    sel = (mask != 0).astype(pred.dtype)[None]  # [1,H,W] broadcast over C
+    n = jnp.maximum(jnp.sum(sel) * pred.shape[0], 1.0)
+    mse = jnp.sum(((pred - gt) ** 2) * sel) / n
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-20)))
+
+
 def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     g = np.array(
         [

@@ -20,7 +20,8 @@ import os
 import time
 
 
-def render_set(model_path, name, iteration, cameras, gts, render_fn):
+def render_set(model_path, name, iteration, cameras, gts, render_fn,
+               mask_paths=None):
     import numpy as np
     from PIL import Image
 
@@ -29,6 +30,19 @@ def render_set(model_path, name, iteration, cameras, gts, render_fn):
     gdir = os.path.join(base, "gt")
     os.makedirs(rdir, exist_ok=True)
     os.makedirs(gdir, exist_ok=True)
+    if mask_paths and any(mask_paths):
+        # covisible masks for masked test PSNR (hyper_loader.py:102-105);
+        # metrics.py picks the masks/ dir up automatically
+        mdir = os.path.join(base, "masks")
+        os.makedirs(mdir, exist_ok=True)
+        for i, mp in enumerate(mask_paths):
+            if mp and os.path.exists(mp):
+                m = Image.open(mp).convert("L")
+                if cameras:
+                    m = m.resize(
+                        (cameras[i].width, cameras[i].height), Image.BILINEAR
+                    )
+                m.save(os.path.join(mdir, f"{i:05d}.png"))
 
     import jax
 
@@ -137,6 +151,7 @@ def main(argv=None):
             args.model_path, name, iteration,
             [lc.camera for lc in cams_gt],
             [lc.image for lc in cams_gt], rfn,
+            mask_paths=[getattr(lc, "mask_path", None) for lc in cams_gt],
         )
     if not args.skip_video and data.video_cameras:
         vc = data.video_cameras

@@ -205,3 +205,51 @@ class TestPreprocess:
         assert tmin[0] <= x // C.TILE_X < tmax[0]
         assert tmin[1] <= y // C.TILE_Y < tmax[1]
         assert int(out.tiles_touched[0]) == (tmax[0] - tmin[0]) * (tmax[1] - tmin[1])
+
+
+class TestIntrinsicsCamera:
+    """make_camera_from_k: setup_camera parity (dataset_readers.py:522-547),
+    principal-point offsets folded into the projection (VERDICT r2 #10)."""
+
+    def test_centered_matches_fov_camera(self):
+        w, h = 64, 48
+        fx, fy = 80.0, 70.0
+        K = np.array([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]])
+        R = np.eye(3)
+        T = np.array([0.1, -0.2, 3.0])
+        w2c = np.eye(4)
+        w2c[:3, :3] = R.T
+        w2c[:3, 3] = T
+        fovx = 2 * np.arctan(w / (2 * fx))
+        fovy = 2 * np.arctan(h / (2 * fy))
+        cam_fov = graphics.make_camera(R, T, fovx, fovy, w, h)
+        cam_k = graphics.make_camera_from_k(K, w2c, w, h)
+        np.testing.assert_allclose(
+            cam_k.world_view, cam_fov.world_view, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            cam_k.full_proj, cam_fov.full_proj, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            cam_k.camera_center, cam_fov.camera_center, atol=1e-5
+        )
+        assert cam_k.tanfovx == pytest.approx(np.tan(fovx / 2), rel=1e-6)
+
+    def test_offcenter_principal_point_shifts_projection(self):
+        w, h = 64, 64
+        fx = fy = 80.0
+        dx = 6.0  # principal point 6px right of center
+        K0 = np.array([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]])
+        K1 = np.array([[fx, 0, w / 2 + dx], [0, fy, h / 2], [0, 0, 1]])
+        w2c = np.eye(4)
+        w2c[:3, 3] = [0, 0, 4.0]
+        c0 = graphics.make_camera_from_k(K0, w2c, w, h)
+        c1 = graphics.make_camera_from_k(K1, w2c, w, h)
+        # project the origin through both cameras
+        p = np.array([0.0, 0.0, 0.0, 1.0])
+        q0 = p @ c0.full_proj
+        q1 = p @ c1.full_proj
+        px0 = graphics.ndc2pix(q0[0] / q0[3], w)
+        px1 = graphics.ndc2pix(q1[0] / q1[3], w)
+        # moving cx right by dx moves every projection right by dx
+        assert px1 - px0 == pytest.approx(dx, abs=1e-4)
