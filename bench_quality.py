@@ -1,0 +1,248 @@
+#!/usr/bin/env python3
+"""Quality benchmark: full D-NeRF-schedule training on a faithful synthetic
+bouncingballs scene, on the real TPU chip.
+
+VERDICT r2 #3: bench.py measures *throughput* against noise GT; this script
+proves *convergence* — real GT renders (oracle rasterizer over a moving
+ground-truth Gaussian scene), densification on, the reference bouncingballs
+schedule (3k coarse + 20k fine, arguments/dnerf/dnerf_default.py via the
+committed preset), random 2k-point init in [-1.3,1.3]^3 exactly as the
+reference's synthetic path (scene/dataset_readers.py:361-370) — recording
+wall-clock and held-out test PSNR to BENCH_QUALITY.json.
+
+Baseline context (BASELINE.md): the reference trains D-NeRF in 8 min on one
+RTX-3090-class GPU at 800x800. The north star is "<= 8-min-equivalent per
+v5e-8 host": one host = 8 chips, so a single chip meets the bar at <= 64 min
+if SP/DP scaling holds (the sharded trainer's scaling is measured separately).
+
+Usage:
+    python bench_quality.py                  # full 3k+20k schedule (~25 min)
+    python bench_quality.py --scale 0.1      # 300+2000 smoke (~3 min)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import time
+
+import numpy as np
+
+
+def make_gt_scene(seed=0, n_balls=6, per_ball=360):
+    """A bouncingballs-like ground-truth Gaussian scene: colored balls on
+    independent bouncing (|sin|) trajectories inside [-1,1]^3 over t in
+    [0,1], as position offsets applied to a canonical cloud."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-0.7, 0.7, (n_balls, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(-0.2, 0.2, n_balls)  # near the "floor" plane
+    radius = rng.uniform(0.12, 0.22, n_balls).astype(np.float32)
+    colors = rng.uniform(0.15, 0.95, (n_balls, 3)).astype(np.float32)
+    amp = rng.uniform(0.3, 0.7, n_balls).astype(np.float32)
+    freq = rng.integers(1, 3, n_balls)
+    phase = rng.uniform(0, np.pi, n_balls).astype(np.float32)
+
+    pts, cols, ball_id = [], [], []
+    for b in range(n_balls):
+        # points on the sphere surface + a few interior
+        v = rng.normal(size=(per_ball, 3)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-9
+        rr = radius[b] * (0.85 + 0.15 * rng.uniform(0, 1, (per_ball, 1)))
+        pts.append(centers[b] + v * rr)
+        shade = 0.85 + 0.3 * v[:, 1:2]  # simple top-lit shading
+        cols.append(np.clip(colors[b] * shade, 0, 1))
+        ball_id.append(np.full(per_ball, b))
+    pts = np.concatenate(pts).astype(np.float32)
+    cols = np.concatenate(cols).astype(np.float32)
+    ball_id = np.concatenate(ball_id)
+
+    def offsets(t: float) -> np.ndarray:
+        """Per-point displacement at time t (bounce along +y)."""
+        dy = amp * np.abs(np.sin(np.pi * freq * t + phase)) - amp * np.abs(
+            np.sin(phase)
+        )
+        disp = np.zeros((len(pts), 3), np.float32)
+        disp[:, 1] = dy[ball_id]
+        return disp
+
+    scale0 = np.full((len(pts), 3), 0.022, np.float32)
+    return pts, cols, scale0, offsets
+
+
+def gt_raster_args(pts, cols, scales):
+    import jax.numpy as jnp
+
+    n = len(pts)
+    sh0 = (cols - 0.5) / 0.28209479177387814  # RGB2SH (utils/sh_utils.py:115)
+    shs = np.zeros((n, 16, 3), np.float32)
+    shs[:, 0] = sh0
+    return {
+        "scales": jnp.asarray(scales),
+        "rotations": jnp.asarray(
+            np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+        ),
+        "opacities": jnp.asarray(np.full(n, 0.95, np.float32)),
+        "shs": jnp.asarray(shs),
+    }
+
+
+def ring_camera(ang, elev, width, height, time, dist=4.0):
+    from fourdgs_tpu.utils import graphics
+
+    eye = np.array([
+        dist * math.cos(elev) * math.sin(ang),
+        dist * math.sin(elev),
+        -dist * math.cos(elev) * math.cos(ang),
+    ])
+    fwd = -eye / np.linalg.norm(eye)
+    up = np.array([0.0, -1.0, 0.0])
+    right = np.cross(up, fwd); right /= np.linalg.norm(right)
+    up2 = np.cross(fwd, right)
+    R = np.stack([right, up2, fwd], axis=1)
+    T = -R.T @ eye
+    fov = 0.6911112070083618  # blender camera_angle_x of the D-NeRF scenes
+    return graphics.make_camera(R, T, fov, fov, width, height, time=time)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="schedule scale (1.0 = full 3k+20k)")
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--n_train", type=int, default=100)
+    ap.add_argument("--n_test", type=int, default=10)
+    ap.add_argument("--out", default="BENCH_QUALITY.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fourdgs_tpu.utils import compile_cache
+    compile_cache.enable()
+
+    from fourdgs_tpu.configs.core import load_config
+    from fourdgs_tpu.models import gaussians as G
+    from fourdgs_tpu.ops.reference import rasterize_reference
+    from fourdgs_tpu.render import CameraArrays, render as render_fn
+    from fourdgs_tpu.train import adam
+    from fourdgs_tpu.train.loop import scene_reconstruction
+    from fourdgs_tpu.utils import losses
+
+    cfg = load_config("fourdgs_tpu/configs/presets/dnerf/bouncingballs.py")
+    cfg.opt.coarse_iterations = max(int(3000 * args.scale), 50)
+    cfg.opt.iterations = max(int(20000 * args.scale), 100)
+    cfg.opt.densify_until_iter = min(
+        cfg.opt.densify_until_iter, int(15000 * args.scale)
+    )
+    cfg.opt.position_lr_max_steps = cfg.opt.iterations
+    cfg.tpu.backend = "pallas"
+    cfg.tpu.payload_bf16 = True
+
+    size = args.size
+    rng = np.random.default_rng(0)
+
+    # ---- ground truth scene + rendered GT images (oracle rasterizer)
+    pts_gt, cols_gt, scales_gt, offsets = make_gt_scene()
+    extra = gt_raster_args(pts_gt, cols_gt, scales_gt)
+    bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
+
+    @jax.jit
+    def gt_render(means3d, cam_wv, cam_fp, cam_center, tanx, tany):
+        out = rasterize_reference(
+            means3d, extra["scales"], extra["rotations"],
+            extra["opacities"], extra["shs"],
+            cam_center, cam_wv, cam_fp, tanx, tany, size, size, 0, bg,
+        )
+        return out.color
+
+    def make_split(n, elev_lo, elev_hi, seed):
+        r = np.random.default_rng(seed)
+        cams = []
+        for i in range(n):
+            t = i / max(n - 1, 1)
+            ang = r.uniform(0, 2 * np.pi)
+            elev = r.uniform(elev_lo, elev_hi)
+            cam = ring_camera(ang, elev, size, size, t)
+            means_t = jnp.asarray(pts_gt + offsets(t))
+            img = gt_render(
+                means_t, jnp.asarray(cam.world_view),
+                jnp.asarray(cam.full_proj), jnp.asarray(cam.camera_center),
+                cam.tanfovx, cam.tanfovy,
+            )
+            cams.append((cam, np.asarray(img)))
+        return cams
+
+    t0 = time.time()
+    train_cams = make_split(args.n_train, 0.15, 0.9, seed=1)
+    test_cams = make_split(args.n_test, 0.15, 0.9, seed=2)
+    gt_time = time.time() - t0
+    print(f"GT rendered: {len(train_cams)} train + {len(test_cams)} test "
+          f"in {gt_time:.1f}s")
+
+    # ---- init: the reference's random synthetic init
+    # (scene/dataset_readers.py:361-370: 2000 points uniform in [-1.3,1.3]^3)
+    init_pts = rng.uniform(-1.3, 1.3, (2000, 3)).astype(np.float32)
+    init_cols = rng.uniform(0, 1, (2000, 3)).astype(np.float32)
+    state = G.create_from_pcd(jax.random.key(6666), cfg, init_pts,
+                              init_cols, 5.0)
+    adam_state = adam.init(state.params)
+
+    # ---- train on the reference schedule
+    t1 = time.time()
+    state, adam_state, _ = scene_reconstruction(
+        cfg, state, adam_state, train_cams, "coarse",
+        cfg.opt.coarse_iterations, cameras_extent=5.0, rng_seed=6666,
+        log_interval=500,
+    )
+    state, adam_state, log = scene_reconstruction(
+        cfg, state, adam_state, train_cams, "fine", cfg.opt.iterations,
+        cameras_extent=5.0, rng_seed=6667, log_interval=500,
+    )
+    # host sync before reading the clock
+    n_points = int(G.count_alive(state))
+    wall = time.time() - t1
+
+    # ---- held-out evaluation
+    sh_deg = int(state.active_sh_degree)
+
+    @jax.jit
+    def eval_render(params, st, cam):
+        return render_fn(
+            params, st, cam, cfg, size, size, "fine", bg, sh_deg
+        ).color
+
+    psnrs = []
+    for cam, gt in test_cams:
+        color = eval_render(state.params, state,
+                            CameraArrays.from_camera(cam))
+        psnrs.append(float(losses.psnr(
+            jnp.asarray(color)[None], jnp.asarray(gt)[None]
+        )[0]))
+    test_psnr = float(np.mean(psnrs))
+
+    iters = cfg.opt.coarse_iterations + cfg.opt.iterations
+    result = {
+        "scene": "synthetic-bouncingballs",
+        "resolution": size,
+        "schedule": {"coarse": cfg.opt.coarse_iterations,
+                     "fine": cfg.opt.iterations},
+        "scale": args.scale,
+        "train_wall_clock_s": round(wall, 1),
+        "test_psnr_db": round(test_psnr, 2),
+        "final_points": n_points,
+        "it_per_s": round(iters / wall, 2),
+        # 8-min GPU envelope scaled to this schedule; one v5e-8 host = 8 chips
+        "ref_8min_equivalent_s": round(480 * args.scale, 1),
+        "chip_minutes_vs_host_budget": round(
+            (wall / 60) / (64 * args.scale), 3
+        ),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
