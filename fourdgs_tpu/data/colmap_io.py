@@ -200,3 +200,171 @@ def read_model(sparse_dir: str):
     elif os.path.exists(os.path.join(sparse_dir, "points3D.txt")):
         pts = read_points3d_text(os.path.join(sparse_dir, "points3D.txt"))
     return cams, imgs, pts
+
+
+# -- writers (scripts/colmap_converter.py parity: full binary+text model
+#    write-out, enabling .bin <-> .txt conversion and synthetic model dumps)
+
+
+class ColmapPoint3D(NamedTuple):
+    id: int
+    xyz: np.ndarray          # [3] float64
+    rgb: np.ndarray          # [3] uint8
+    error: float
+    image_ids: np.ndarray    # [track] int32
+    point2d_idxs: np.ndarray # [track] int32
+
+
+def read_points3d_full(path: str) -> dict[int, ColmapPoint3D]:
+    """points3D with ids + tracks preserved (for lossless conversion)."""
+    out = {}
+    if path.endswith(".bin"):
+        with open(path, "rb") as f:
+            (n,) = _read(f, 8, "Q")
+            for _ in range(n):
+                pid = _read(f, 8, "Q")[0]
+                xyz = np.array(_read(f, 24, "ddd"))
+                rgb = np.array(_read(f, 3, "BBB"), np.uint8)
+                err = _read(f, 8, "d")[0]
+                (tl,) = _read(f, 8, "Q")
+                track = np.array(_read(f, 8 * tl, "ii" * tl), np.int32)
+                out[pid] = ColmapPoint3D(
+                    int(pid), xyz, rgb, float(err),
+                    track[0::2].copy(), track[1::2].copy(),
+                )
+    else:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                tok = line.split()
+                pid = int(tok[0])
+                track = np.array(list(map(int, tok[8:])), np.int32)
+                out[pid] = ColmapPoint3D(
+                    pid, np.array(list(map(float, tok[1:4]))),
+                    np.array(list(map(int, tok[4:7])), np.uint8),
+                    float(tok[7]), track[0::2].copy(), track[1::2].copy(),
+                )
+    return out
+
+
+_MODEL_IDS = {name: mid for mid, (name, _) in CAMERA_MODELS.items()}
+
+
+def write_cameras_text(cameras: dict[int, ColmapCamera], path: str):
+    with open(path, "w") as f:
+        f.write("# Camera list with one line of data per camera:\n"
+                "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
+                f"# Number of cameras: {len(cameras)}\n")
+        for cid in sorted(cameras):
+            c = cameras[cid]
+            params = " ".join(repr(float(p)) for p in c.params)
+            f.write(f"{c.id} {c.model} {c.width} {c.height} {params}\n")
+
+
+def write_cameras_binary(cameras: dict[int, ColmapCamera], path: str):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cameras)))
+        for cid in sorted(cameras):
+            c = cameras[cid]
+            f.write(struct.pack("<iiQQ", c.id, _MODEL_IDS[c.model],
+                                c.width, c.height))
+            f.write(struct.pack("<" + "d" * len(c.params),
+                                *map(float, c.params)))
+
+
+def write_images_text(images: dict[int, ColmapImage], path: str):
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image:\n"
+                "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+                "#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+                f"# Number of images: {len(images)}\n")
+        for iid in sorted(images):
+            im = images[iid]
+            head = [im.id, *map(float, im.qvec), *map(float, im.tvec),
+                    im.camera_id, im.name]
+            f.write(" ".join(map(str, head)) + "\n")
+            pts = []
+            for (x, y), pid in zip(im.xys, im.point3d_ids):
+                pts += [repr(float(x)), repr(float(y)), str(int(pid))]
+            f.write(" ".join(pts) + "\n")
+
+
+def write_images_binary(images: dict[int, ColmapImage], path: str):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(images)))
+        for iid in sorted(images):
+            im = images[iid]
+            f.write(struct.pack("<i", im.id))
+            f.write(struct.pack("<dddd", *map(float, im.qvec)))
+            f.write(struct.pack("<ddd", *map(float, im.tvec)))
+            f.write(struct.pack("<i", im.camera_id))
+            f.write(im.name.encode("utf-8") + b"\x00")
+            f.write(struct.pack("<Q", len(im.point3d_ids)))
+            for (x, y), pid in zip(im.xys, im.point3d_ids):
+                f.write(struct.pack("<ddq", float(x), float(y), int(pid)))
+
+
+def write_points3d_text(points: dict[int, ColmapPoint3D], path: str):
+    with open(path, "w") as f:
+        f.write("# 3D point list with one line of data per point:\n"
+                "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+                "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n"
+                f"# Number of points: {len(points)}\n")
+        for pid in sorted(points):
+            p = points[pid]
+            track = []
+            for img_id, p2d in zip(p.image_ids, p.point2d_idxs):
+                track += [str(int(img_id)), str(int(p2d))]
+            xyz = " ".join(repr(float(v)) for v in p.xyz)
+            f.write(
+                f"{p.id} {xyz} "
+                f"{int(p.rgb[0])} {int(p.rgb[1])} {int(p.rgb[2])} "
+                f"{float(p.error)!r} " + " ".join(track) + "\n"
+            )
+
+
+def write_points3d_binary(points: dict[int, ColmapPoint3D], path: str):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(points)))
+        for pid in sorted(points):
+            p = points[pid]
+            f.write(struct.pack("<Q", p.id))
+            f.write(struct.pack("<ddd", *map(float, p.xyz)))
+            f.write(struct.pack("<BBB", *map(int, p.rgb)))
+            f.write(struct.pack("<d", float(p.error)))
+            f.write(struct.pack("<Q", len(p.image_ids)))
+            for img_id, p2d in zip(p.image_ids, p.point2d_idxs):
+                f.write(struct.pack("<ii", int(img_id), int(p2d)))
+
+
+def read_model_full(sparse_dir: str, ext: str | None = None):
+    """(cameras, images, points3D-with-tracks); ext '.bin'/'.txt' or auto."""
+    if ext is None:
+        ext = ".bin" if os.path.exists(
+            os.path.join(sparse_dir, "cameras.bin")
+        ) else ".txt"
+    if ext == ".bin":
+        cams = read_cameras_binary(os.path.join(sparse_dir, "cameras.bin"))
+        imgs = read_images_binary(os.path.join(sparse_dir, "images.bin"))
+    else:
+        cams = read_cameras_text(os.path.join(sparse_dir, "cameras.txt"))
+        imgs = read_images_text(os.path.join(sparse_dir, "images.txt"))
+    pts_path = os.path.join(sparse_dir, "points3D" + ext)
+    pts = read_points3d_full(pts_path) if os.path.exists(pts_path) else {}
+    return cams, imgs, pts
+
+
+def write_model(cameras, images, points, out_dir: str, ext: str = ".bin"):
+    os.makedirs(out_dir, exist_ok=True)
+    if ext == ".bin":
+        write_cameras_binary(cameras, os.path.join(out_dir, "cameras.bin"))
+        write_images_binary(images, os.path.join(out_dir, "images.bin"))
+        write_points3d_binary(points, os.path.join(out_dir, "points3D.bin"))
+    elif ext == ".txt":
+        write_cameras_text(cameras, os.path.join(out_dir, "cameras.txt"))
+        write_images_text(images, os.path.join(out_dir, "images.txt"))
+        write_points3d_text(points, os.path.join(out_dir, "points3D.txt"))
+    else:
+        raise ValueError(f"ext must be '.bin' or '.txt', got {ext!r}")

@@ -44,6 +44,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from fourdgs_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from bench import build_workload
     from fourdgs_tpu.ops import constants as C
     from fourdgs_tpu.ops import pallas_blend as PB

@@ -69,6 +69,13 @@ class TestTimer:
         out = os.path.join(str(tmp_path), "timing_plots")
         assert os.path.exists(os.path.join(out, "iteration_times.png"))
         assert os.path.exists(os.path.join(out, "operation_breakdown.png"))
+        assert os.path.exists(
+            os.path.join(out, "iteration_times_broken.png")
+        )
+        assert os.path.exists(os.path.join(out, "stage_comparison.png"))
+        assert os.path.exists(os.path.join(out, "operation_trends.png"))
+        txt = open(os.path.join(out, "timing_analysis.txt")).read()
+        assert "timing summary" in txt and "% wall" in txt
 
 
 class TestGradientTracker:

@@ -235,3 +235,66 @@ class TestHypernerfScene:
         assert img.shape == (24, 32, 3)
         times = [lc.camera.time for lc in scene.train_cameras]
         assert max(times) <= 1.0
+
+
+class TestColmapWriters:
+    """Model writers + converter CLI (reference scripts/colmap_converter.py
+    parity): .bin → .txt → .bin must round-trip losslessly incl. point ids
+    and tracks."""
+
+    def test_bin_txt_bin_roundtrip(self, tmp_path):
+        src = str(tmp_path / "sparse" / "0")
+        write_colmap_binary(src)
+        cams0, imgs0, pts0 = colmap_io.read_model_full(src)
+        assert len(pts0) == 5 and pts0[0].image_ids.shape == (1,)
+
+        txt_dir = str(tmp_path / "txt")
+        colmap_io.write_model(cams0, imgs0, pts0, txt_dir, ".txt")
+        cams1, imgs1, pts1 = colmap_io.read_model_full(txt_dir, ".txt")
+        bin_dir = str(tmp_path / "bin2")
+        colmap_io.write_model(cams1, imgs1, pts1, bin_dir, ".bin")
+        cams2, imgs2, pts2 = colmap_io.read_model_full(bin_dir, ".bin")
+
+        assert cams2.keys() == cams0.keys()
+        for cid in cams0:
+            a, b = cams0[cid], cams2[cid]
+            assert (a.model, a.width, a.height) == (b.model, b.width, b.height)
+            np.testing.assert_array_equal(a.params, b.params)
+        assert imgs2.keys() == imgs0.keys()
+        for iid in imgs0:
+            a, b = imgs0[iid], imgs2[iid]
+            assert a.name == b.name and a.camera_id == b.camera_id
+            np.testing.assert_array_equal(a.qvec, b.qvec)
+            np.testing.assert_array_equal(a.tvec, b.tvec)
+            np.testing.assert_array_equal(a.xys, b.xys)
+            np.testing.assert_array_equal(a.point3d_ids, b.point3d_ids)
+        assert pts2.keys() == pts0.keys()
+        for pid in pts0:
+            a, b = pts0[pid], pts2[pid]
+            np.testing.assert_array_equal(a.xyz, b.xyz)
+            np.testing.assert_array_equal(a.rgb, b.rgb)
+            assert a.error == b.error
+            np.testing.assert_array_equal(a.image_ids, b.image_ids)
+            np.testing.assert_array_equal(a.point2d_idxs, b.point2d_idxs)
+
+    def test_converter_cli(self, tmp_path):
+        import importlib.util
+
+        src = str(tmp_path / "sparse" / "0")
+        write_colmap_binary(src)
+        out = str(tmp_path / "converted")
+        spec = importlib.util.spec_from_file_location(
+            "colmap_converter",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "colmap_converter.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main(["--input_model", src, "--output_model", out,
+                  "--output_format", ".txt"])
+        assert os.path.exists(os.path.join(out, "cameras.txt"))
+        assert os.path.exists(os.path.join(out, "images.txt"))
+        assert os.path.exists(os.path.join(out, "points3D.txt"))
+        # text model loads through the ordinary readers too
+        cams, imgs, pts = colmap_io.read_model(out)
+        assert cams[1].model == "PINHOLE" and len(imgs) == 3
