@@ -277,7 +277,13 @@ def make_sharded_train_step(
             out_specs=(pspec, aspec, sspec, specs_like(
                 {"loss": 0, "l1": 0, "psnr": 0, "num_rendered": 0,
                  "max_tile_len": 0, "n_points": 0}, rep)),
-            # pallas_call doesn't declare varying-mesh-axes metadata
+            # check_vma=True is not currently possible: pallas_call out_shapes
+            # can carry vma, but the Pallas HLO interpreter (our CPU test
+            # path) rejects kernel-internal mixing of varying refs with
+            # unvarying program ids ("Primitive dynamic_slice requires
+            # varying manual axes to match ... open an issue"). The 2x2
+            # leaf-for-leaf parity test (tests/test_parallel.py) is the
+            # compensating control for shard_map transpose correctness.
             check_vma=False,
         )(params, adam_state, state, cams, gts, step)
 

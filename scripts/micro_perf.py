@@ -47,6 +47,23 @@ def main():
                                                 is_stable=True))
         print(f"sort (i32 key + i32 payload): {timeit(srt, keys, pay):7.2f} ms")
 
+        # candidate: pack (tile << slot_bits | slot) into ONE int32 key,
+        # sort payload-free (stability implied by the slot bits), then
+        # unpack + one K-gather to recover gauss_id
+        slot_bits = int(np.ceil(np.log2(K)))
+        packed = (keys.astype(jnp.int32) << slot_bits) | jnp.arange(
+            K, dtype=jnp.int32
+        )
+        gid_slot_tbl = jnp.asarray(rng.integers(0, P, K, dtype=np.int32))
+
+        def packed_sort(pk, gs):
+            s = jax.lax.sort(pk, is_stable=False)
+            slot = s & ((1 << slot_bits) - 1)
+            return s >> slot_bits, jnp.take(gs, slot)
+        ps = jax.jit(packed_sort)
+        print(f"packed 1-key sort + unpack:   "
+              f"{timeit(ps, packed, gid_slot_tbl):7.2f} ms")
+
         gid = jnp.asarray(rng.integers(0, P, K, dtype=np.int32))
         table = jnp.asarray(rng.uniform(0, 1, (P, 16)).astype(np.float32))
         g_row = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
