@@ -253,3 +253,40 @@ class TestIntrinsicsCamera:
         px1 = graphics.ndc2pix(q1[0] / q1[3], w)
         # moving cx right by dx moves every projection right by dx
         assert px1 - px0 == pytest.approx(dx, abs=1e-4)
+
+
+class TestMaskedPsnr:
+    """Covisible-masked PSNR (utils/image_utils.py:16-38 semantics)."""
+
+    def test_matches_unmasked_with_full_mask(self):
+        from fourdgs_tpu.utils import losses
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.uniform(0, 1, (3, 16, 16)), jnp.float32)
+        b = jnp.asarray(rng.uniform(0, 1, (3, 16, 16)), jnp.float32)
+        full = jnp.ones((16, 16))
+        assert float(losses.masked_psnr(a, b, full)) == pytest.approx(
+            float(losses.psnr(a[None], b[None])[0]), abs=1e-4
+        )
+
+    def test_mask_excludes_corrupted_region(self):
+        from fourdgs_tpu.utils import losses
+
+        rng = np.random.default_rng(1)
+        gt = jnp.asarray(rng.uniform(0, 1, (3, 16, 16)), jnp.float32)
+        pred = gt.at[:, :8, :].set(0.0)  # destroy the top half
+        mask = jnp.zeros((16, 16)).at[8:, :].set(1.0)  # keep bottom only
+        # masked: perfect; unmasked: terrible
+        assert float(losses.masked_psnr(pred, gt, mask)) > 80
+        assert float(losses.psnr(pred[None], gt[None])[0]) < 20
+
+    def test_accepts_1hw_mask(self):
+        from fourdgs_tpu.utils import losses
+
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.uniform(0, 1, (3, 8, 8)), jnp.float32)
+        m2 = jnp.ones((8, 8))
+        m3 = m2[None]
+        assert float(losses.masked_psnr(a, a * 0.9, m2)) == pytest.approx(
+            float(losses.masked_psnr(a, a * 0.9, m3))
+        )
