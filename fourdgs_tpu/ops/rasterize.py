@@ -52,10 +52,17 @@ def rasterize_pallas(
     tile_row_offset=0,
     tile_rows: int | None = None,
     payload_dtype=jnp.float32,
+    tile_space: bool = False,
 ) -> TiledRasterOut:
     """Render one camera through the Pallas pipeline (differentiable).
 
     ``interpret=True`` runs the kernels under the Pallas interpreter (CPU CI).
+
+    ``tile_space=True`` returns color/depth/alpha as per-tile pixel blocks
+    [T, 256, C] instead of [C, H, W] images, skipping the tile→image
+    transpose. The training loss runs entirely in tile space (the GT is
+    tiled once, outside the gradient), which removes the transpose AND its
+    backward re-tile from the hot path (~3 ms/step at 800×800 on v5e).
     """
     opac = opacities.reshape(-1)
     pre = preprocess(
@@ -139,6 +146,17 @@ def rasterize_pallas(
     dep = out[:, :, 3:4]
     t_fin = out[:, :, 4:5]
     col = col + t_fin * bg[None, None, :]
+
+    if tile_space:
+        return TiledRasterOut(
+            color=col,
+            depth=dep,
+            alpha=1.0 - t_fin,
+            radii=pre.radii,
+            means2d=pre.means2d,
+            num_rendered=bins.num_rendered,
+            max_tile_len=jnp.max(tile_len).astype(jnp.int32),
+        )
 
     def untile(x, ch):  # x [T, 256, ch] → [ch, H, W]
         img = x.reshape(grid_y, grid_x, C.TILE_Y, C.TILE_X, ch)

@@ -73,12 +73,20 @@ def render(
     active_sh_degree: int,
     means2d_offset: jnp.ndarray | None = None,
     backend: str | None = None,
+    tile_space: bool = False,
 ) -> RenderOut:
     """Render one camera.
 
     ``params`` is passed separately from ``state`` so jax.grad can
     differentiate w.r.t. the optimized pytree while the rest of the state
     (alive mask, aabb, ...) stays auxiliary.
+
+    ``tile_space=True`` returns color/depth/alpha as [T, 256, C] tile
+    blocks (the rasterizer's native layout) instead of [C, H, W] images —
+    the training loss path uses this to skip the per-step tile→image
+    transpose. Non-pallas backends tile their image output for layout
+    parity (they are the CPU/test backends; the extra transpose is fine
+    there).
     """
     xyz = params["xyz"]
     scaling = params["scaling"]
@@ -133,6 +141,7 @@ def render(
             interpret=interpret,
             payload_dtype=(jnp.bfloat16 if cfg.tpu.payload_bf16
                            else jnp.float32),
+            tile_space=tile_space,
         )
         return RenderOut(
             color=out.color, depth=out.depth, alpha=out.alpha,
@@ -160,8 +169,12 @@ def render(
             alive=state.alive,
             **common,
         )
+        color, depth, alpha = out.color, out.depth, out.alpha
+        if tile_space:
+            from fourdgs_tpu.utils.losses import tile_image
+            color, depth, alpha = map(tile_image, (color, depth, alpha))
         return RenderOut(
-            color=out.color, depth=out.depth, alpha=out.alpha,
+            color=color, depth=depth, alpha=alpha,
             radii=out.radii, num_rendered=out.num_rendered,
             max_tile_len=out.max_tile_len, dxyz_abs=dxyz_abs,
         )
@@ -171,8 +184,12 @@ def render(
             alive_mask=state.alive,
             **common,
         )
+        color, depth, alpha = out.color, out.depth, out.alpha
+        if tile_space:
+            from fourdgs_tpu.utils.losses import tile_image
+            color, depth, alpha = map(tile_image, (color, depth, alpha))
         return RenderOut(
-            color=out.color, depth=out.depth, alpha=out.alpha,
+            color=color, depth=depth, alpha=alpha,
             radii=out.radii,
             num_rendered=jnp.int32(0), max_tile_len=jnp.int32(0),
             dxyz_abs=dxyz_abs,

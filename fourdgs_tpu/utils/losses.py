@@ -33,6 +33,36 @@ def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-20)))
 
 
+def tile_image(img: jnp.ndarray, tile_x: int = 16,
+               tile_y: int = 16) -> jnp.ndarray:
+    """[C, H, W] image → [T, tile_y·tile_x, C] per-tile pixel blocks.
+
+    The layout the Pallas rasterizer emits (row-major tiles, row-major
+    pixels within a tile — fourdgs_tpu.ops.pallas_blend). H/W are padded
+    up to tile multiples with zeros; combine with :func:`tile_pixel_mask`
+    to ignore the padding. Used to run the training loss in tile space so
+    the per-step tile→image transpose (and its backward) disappears.
+    """
+    c, h, w = img.shape
+    gy = -(-h // tile_y)
+    gx = -(-w // tile_x)
+    img = jnp.pad(img, ((0, 0), (0, gy * tile_y - h), (0, gx * tile_x - w)))
+    img = img.reshape(c, gy, tile_y, gx, tile_x)
+    return img.transpose(1, 3, 2, 4, 0).reshape(gy * gx, tile_y * tile_x, c)
+
+
+def tile_pixel_mask(height: int, width: int, tile_x: int = 16,
+                    tile_y: int = 16) -> jnp.ndarray:
+    """[T, tile_y·tile_x, 1] float mask: 1 for pixels inside H×W, 0 for the
+    tile-grid padding. All-ones when H and W are tile multiples."""
+    gy = -(-height // tile_y)
+    gx = -(-width // tile_x)
+    yy = jnp.arange(gy * tile_y) < height
+    xx = jnp.arange(gx * tile_x) < width
+    m = (yy[:, None] & xx[None, :]).astype(jnp.float32)
+    return tile_image(m[None], tile_x, tile_y)
+
+
 def masked_psnr(pred: jnp.ndarray, gt: jnp.ndarray,
                 mask: jnp.ndarray) -> jnp.ndarray:
     """PSNR over mask≠0 pixels only (utils/image_utils.py:16-38).
