@@ -51,12 +51,18 @@ def project_points(means3d, world_view, full_proj):
     return p_view, p_proj
 
 
-def compute_cov2d(p_view, cov3d, world_view, tanfovx, tanfovy, focal_x, focal_y):
+def compute_cov2d(p_view, cov6, world_view, tanfovx, tanfovy, focal_x, focal_y):
     """EWA splatting: 3D covariance → 2D screen covariance (forward.cu:74-113).
 
     ``jnp.clip`` on the x/z, y/z ratios reproduces the reference's clamp
     (forward.cu:84-87) and autodiff through it reproduces the clamp-gated
     backward (backward.cu:175-176). Adds the +0.3 low-pass dilation.
+
+    ``cov6`` is the symmetric Σ as [P,6] components (xx, xy, xz, yy, yz, zz
+    — quaternion.covariance_vec6); the whole contraction M Σ Mᵀ is written
+    component-wise over [P]-vectors so XLA keeps everything in flat
+    full-lane-utilization tiles (a [P,3,3] einsum tiles as T(4,128) — 9
+    useful values per 512-slot tile — and was ~3 ms of the train step).
 
     Returns [P,3] packed (cov_xx, cov_xy, cov_yy).
     """
@@ -78,16 +84,25 @@ def compute_cov2d(p_view, cov3d, world_view, tanfovx, tanfovy, focal_x, focal_y)
     # the actual rotation matrix is its upper-left block transposed.
     R = world_view[:3, :3].T  # [3,3]
 
-    # M = J @ R : [P, 2, 3]
-    m0 = j00[..., None] * R[0] + j02[..., None] * R[2]  # [P,3]
-    m1 = j11[..., None] * R[1] + j12[..., None] * R[2]  # [P,3]
+    # M = J @ R : two [P]-component row vectors (m0, m1)
+    m00 = j00 * R[0, 0] + j02 * R[2, 0]
+    m01 = j00 * R[0, 1] + j02 * R[2, 1]
+    m02 = j00 * R[0, 2] + j02 * R[2, 2]
+    m10 = j11 * R[1, 0] + j12 * R[2, 0]
+    m11 = j11 * R[1, 1] + j12 * R[2, 1]
+    m12 = j11 * R[1, 2] + j12 * R[2, 2]
 
-    # cov2d = M @ Σ @ Mᵀ, Σ = cov3d [P,3,3]
-    s0 = jnp.einsum("pi,pij->pj", m0, cov3d)
-    s1 = jnp.einsum("pi,pij->pj", m1, cov3d)
-    c_xx = jnp.einsum("pj,pj->p", s0, m0) + C.COV2D_DILATION
-    c_xy = jnp.einsum("pj,pj->p", s0, m1)
-    c_yy = jnp.einsum("pj,pj->p", s1, m1) + C.COV2D_DILATION
+    xx, xy, xz, yy, yz, zz = (cov6[..., i] for i in range(6))
+    # s_r = m_r Σ ; cov2d_rc = s_r · m_c
+    s00 = m00 * xx + m01 * xy + m02 * xz
+    s01 = m00 * xy + m01 * yy + m02 * yz
+    s02 = m00 * xz + m01 * yz + m02 * zz
+    s10 = m10 * xx + m11 * xy + m12 * xz
+    s11 = m10 * xy + m11 * yy + m12 * yz
+    s12 = m10 * xz + m11 * yz + m12 * zz
+    c_xx = s00 * m00 + s01 * m01 + s02 * m02 + C.COV2D_DILATION
+    c_xy = s00 * m10 + s01 * m11 + s02 * m12
+    c_yy = s10 * m10 + s11 * m11 + s12 * m12 + C.COV2D_DILATION
     return jnp.stack([c_xx, c_xy, c_yy], axis=-1)
 
 
@@ -140,13 +155,12 @@ def preprocess(
     in_front = depths > C.NEAR_PLANE_Z
 
     if cov3d_precomp is not None:
-        cov3d = cov3d_precomp
+        cov6 = (cov3d_precomp if cov3d_precomp.shape[-1] == 6
+                else quat.sym_cov3d_to_vec(cov3d_precomp))
     else:
-        cov3d = quat.covariance_from_scaling_rotation(
-            scales, rotations, scale_modifier
-        )
+        cov6 = quat.covariance_vec6(scales, rotations, scale_modifier)
     cov2d = compute_cov2d(
-        p_view, cov3d, world_view, tanfovx, tanfovy, focal_x, focal_y
+        p_view, cov6, world_view, tanfovx, tanfovy, focal_x, focal_y
     )
 
     # Invert to conic (forward.cu:219-226). det==0 ⇒ culled.

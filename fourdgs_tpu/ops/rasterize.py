@@ -132,31 +132,36 @@ def rasterize_pallas(
             jnp.zeros((P_n, PB.FEAT_ROWS - 10), jnp.float32),
         ],
         axis=1,
-    )  # [P, 16]
+    )  # [P, FEAT_ROWS]
     table = table.astype(payload_dtype)  # optional bf16: halves gather+DMA
     feat = jnp.take(table, bins.gauss_id, axis=0).T      # [16, K]
 
-    out = PB.blend_pallas(
+    out5 = PB.blend_pallas(
         feat, bins.tile_start, bins.tile_stop,
         jnp.asarray([tile_row_offset], jnp.int32),
+        bg.astype(jnp.float32),
         grid_x, T, K, interpret,
-    )  # [T, 256, 8]
-
-    col = out[:, :, 0:3]
-    dep = out[:, :, 3:4]
-    t_fin = out[:, :, 4:5]
-    col = col + t_fin * bg[None, None, :]
+    )  # packed [T,256,5] = (r, g, b, depth, t_fin), bg composited in-kernel
 
     if tile_space:
+        # PACKED tile-space contract: color carries the full [T, 256, 5]
+        # block (r, g, b, depth, t_fin). The training loss consumes it
+        # directly (column-masked against a 5-wide tiled GT) so no
+        # slice/pad pair ever materializes around the custom VJP. depth and
+        # alpha are sliced views — DCE'd unless actually used.
         return TiledRasterOut(
-            color=col,
-            depth=dep,
-            alpha=1.0 - t_fin,
+            color=out5,
+            depth=out5[:, :, 3:4],
+            alpha=1.0 - out5[:, :, 4:5],
             radii=pre.radii,
             means2d=pre.means2d,
             num_rendered=bins.num_rendered,
             max_tile_len=jnp.max(tile_len).astype(jnp.int32),
         )
+
+    col = out5[:, :, 0:3]
+    dep = out5[:, :, 3:4]
+    t_fin = out5[:, :, 4:5]
 
     def untile(x, ch):  # x [T, 256, ch] → [ch, H, W]
         img = x.reshape(grid_y, grid_x, C.TILE_Y, C.TILE_X, ch)

@@ -81,12 +81,14 @@ def render(
     differentiate w.r.t. the optimized pytree while the rest of the state
     (alive mask, aabb, ...) stays auxiliary.
 
-    ``tile_space=True`` returns color/depth/alpha as [T, 256, C] tile
-    blocks (the rasterizer's native layout) instead of [C, H, W] images —
-    the training loss path uses this to skip the per-step tile→image
-    transpose. Non-pallas backends tile their image output for layout
-    parity (they are the CPU/test backends; the extra transpose is fine
-    there).
+    ``tile_space=True`` returns the rasterizer's native tile layout:
+    ``color`` holds the PACKED [T, 256, 5] block (r, g, b, depth, t_fin)
+    and depth/alpha are [T, 256, 1] views — the training loss consumes the
+    packed block directly (column-masked against a 5-wide tiled GT), so
+    the per-step tile→image transpose and every slice/pad around the
+    Pallas custom VJP disappear. Non-pallas backends tile their image
+    output for layout parity (they are the CPU/test backends; the extra
+    transpose is fine there).
     """
     xyz = params["xyz"]
     scaling = params["scaling"]
@@ -171,8 +173,7 @@ def render(
         )
         color, depth, alpha = out.color, out.depth, out.alpha
         if tile_space:
-            from fourdgs_tpu.utils.losses import tile_image
-            color, depth, alpha = map(tile_image, (color, depth, alpha))
+            color, depth, alpha = _pack_tiles(color, depth, alpha)
         return RenderOut(
             color=color, depth=depth, alpha=alpha,
             radii=out.radii, num_rendered=out.num_rendered,
@@ -186,8 +187,7 @@ def render(
         )
         color, depth, alpha = out.color, out.depth, out.alpha
         if tile_space:
-            from fourdgs_tpu.utils.losses import tile_image
-            color, depth, alpha = map(tile_image, (color, depth, alpha))
+            color, depth, alpha = _pack_tiles(color, depth, alpha)
         return RenderOut(
             color=color, depth=depth, alpha=alpha,
             radii=out.radii,
@@ -195,3 +195,13 @@ def render(
             dxyz_abs=dxyz_abs,
         )
     raise ValueError(f"unknown backend {backend!r}")
+
+
+def _pack_tiles(color, depth, alpha):
+    """Image-space (color, depth, alpha) → the pallas backend's packed
+    tile-space contract: color = [T, 256, 5] (r, g, b, depth, t_fin)."""
+    from fourdgs_tpu.utils.losses import tile_image
+
+    tc, td, ta = map(tile_image, (color, depth, alpha))
+    packed = jnp.concatenate([tc, td, 1.0 - ta], axis=-1)
+    return packed, td, ta

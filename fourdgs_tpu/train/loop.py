@@ -89,14 +89,19 @@ def make_train_step(
         aux = jax.tree.map(lambda *xs: jnp.stack(xs), *[a for _, a in per_cam])
         gts_img = gts_in[:, :3]
         if tile_mode:
-            gts_cmp = jnp.stack([losses.tile_image(g) for g in gts_img])
+            # colors is the PACKED [B, T, 256, 5] block (r,g,b,depth,t_fin);
+            # tile the GT 5-wide and mask the depth/t_fin columns so the
+            # cotangent reaches the Pallas VJP with no slice/pad layout ops
+            gts_cmp = jnp.stack(
+                [losses.tile_image(g, pad_cols=2) for g in gts_img]
+            )
+            m = jnp.array([1.0, 1.0, 1.0, 0.0, 0.0])
             if padded:
-                m = losses.tile_pixel_mask(height, width)[None]
-                diff = (colors - gts_cmp) * m
-            else:
-                diff = colors - gts_cmp
-            # identical values to the image-space mean (padding pixels are
-            # masked out and the denominator counts true pixels only)
+                m = m * losses.tile_pixel_mask(height, width)
+            diff = (colors - gts_cmp) * m
+            # identical values to the image-space mean (padding pixels and
+            # the non-color columns are masked out; the denominator counts
+            # true color pixels only)
             l1 = jnp.sum(jnp.abs(diff)) / (B * n_px)
             mse = jnp.sum(diff * diff, axis=(1, 2, 3)) / n_px
             psnr = jnp.mean(

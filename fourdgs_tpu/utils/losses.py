@@ -34,21 +34,26 @@ def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 def tile_image(img: jnp.ndarray, tile_x: int = 16,
-               tile_y: int = 16) -> jnp.ndarray:
-    """[C, H, W] image → [T, tile_y·tile_x, C] per-tile pixel blocks.
+               tile_y: int = 16, pad_cols: int = 0) -> jnp.ndarray:
+    """[C, H, W] image → [T, tile_y·tile_x, C+pad_cols] per-tile blocks.
 
     The layout the Pallas rasterizer emits (row-major tiles, row-major
     pixels within a tile — fourdgs_tpu.ops.pallas_blend). H/W are padded
     up to tile multiples with zeros; combine with :func:`tile_pixel_mask`
-    to ignore the padding. Used to run the training loss in tile space so
-    the per-step tile→image transpose (and its backward) disappears.
+    to ignore the padding. ``pad_cols`` appends zero channels — the
+    training loss tiles the GT with pad_cols=2 so it subtracts against
+    the rasterizer's packed (r, g, b, depth, t_fin) block directly,
+    avoiding any slice/pad of the differentiable output.
     """
     c, h, w = img.shape
     gy = -(-h // tile_y)
     gx = -(-w // tile_x)
     img = jnp.pad(img, ((0, 0), (0, gy * tile_y - h), (0, gx * tile_x - w)))
     img = img.reshape(c, gy, tile_y, gx, tile_x)
-    return img.transpose(1, 3, 2, 4, 0).reshape(gy * gx, tile_y * tile_x, c)
+    out = img.transpose(1, 3, 2, 4, 0).reshape(gy * gx, tile_y * tile_x, c)
+    if pad_cols:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, pad_cols)))
+    return out
 
 
 def tile_pixel_mask(height: int, width: int, tile_x: int = 16,

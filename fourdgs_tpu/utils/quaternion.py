@@ -59,6 +59,43 @@ def multiply(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     return normalize(jnp.stack([w, x, y, z], axis=-1))
 
 
+def covariance_vec6(
+    scale: jnp.ndarray, q: jnp.ndarray, scaling_modifier: float = 1.0
+) -> jnp.ndarray:
+    """Σ = (R S)(R S)ᵀ upper triangle → [..., 6] (xx, xy, xz, yy, yz, zz).
+
+    Same math as :func:`covariance_from_scaling_rotation` (CUDA
+    computeCov3D, forward.cu:118-152) written in structure-of-arrays form:
+    every intermediate is a [...]-shaped vector, never a [..., 3, 3]
+    matrix. On TPU a [P, 3, 3] tensor tiles as T(4, 128) — 9 useful values
+    in a 512-slot tile — and drags transposes into both passes; the
+    component form runs at full lane utilization and fuses into the
+    surrounding preprocess elementwise chain.
+    """
+    s = scale * scaling_modifier
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    s0 = s[..., 0] * s[..., 0]
+    s1 = s[..., 1] * s[..., 1]
+    s2 = s[..., 2] * s[..., 2]
+    # Σ_ij = Σ_k s_k² R_ik R_jk
+    xx = s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02
+    xy = s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12
+    xz = s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22
+    yy = s0 * r10 * r10 + s1 * r11 * r11 + s2 * r12 * r12
+    yz = s0 * r10 * r20 + s1 * r11 * r21 + s2 * r12 * r22
+    zz = s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
+
+
 def build_scaling_rotation(scale: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """L = R · diag(scale): [..., 3, 3].
 

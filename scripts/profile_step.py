@@ -103,15 +103,17 @@ def main():
     feat = gather_j(bins.gauss_id)
 
     row_off = jnp.asarray([0], jnp.int32)
-    fwd = jax.jit(lambda f, s, e: PB.blend_pallas(f, s, e, row_off, gx, T, K))
+    bg0 = jnp.zeros(3)
+    fwd = jax.jit(lambda f, s, e: PB.blend_pallas(f, s, e, row_off, bg0,
+                                                  gx, T, K))
     print(f"blend fwd:            "
           f"{timeit(fwd, feat, bins.tile_start, bins.tile_stop):8.2f} ms")
 
     def loss_fn(f):
-        out = PB.blend_pallas(
-            f, bins.tile_start, bins.tile_stop, row_off, gx, T, K
+        out5 = PB.blend_pallas(
+            f, bins.tile_start, bins.tile_stop, row_off, bg0, gx, T, K
         )
-        return jnp.sum(out[:, :, :4])
+        return jnp.sum(out5[:, :, :4])
 
     fb = jax.jit(jax.grad(loss_fn))
     print(f"blend fwd+bwd:        {timeit(fb, feat):8.2f} ms")

@@ -163,11 +163,11 @@ class TestKernelLogic:
         p["opacities"] = jnp.full((128,), 0.9)   # deep T_STOP saturation
         K = 4096
         feat, starts, stops = _bin_scene(p, cam, w, h, K, (4, 4))
-        out = np.asarray(PB.blend_pallas(
+        out5 = np.asarray(PB.blend_pallas(
             jnp.asarray(feat), jnp.asarray(starts), jnp.asarray(stops),
-            jnp.asarray([0], np.int32), 4, 16, K, True))
+            jnp.asarray([0], np.int32), jnp.zeros(3), 4, 16, K, True))
         sim = kernel_sim_forward(feat, starts, stops, 4, 16)
-        np.testing.assert_allclose(out, sim, atol=1e-5)
+        np.testing.assert_allclose(out5, sim[:, :, 0:5], atol=1e-5)
 
     def test_forward_matches_sim_boundary_straddle(self):
         # tile ranges deliberately straddling CHUNK windows
@@ -176,7 +176,7 @@ class TestKernelLogic:
         lens = [37, 129, 0, 200, 95, 61]
         starts = np.cumsum([0] + lens[:-1]).astype(np.int32)
         stops = (starts + np.array(lens)).astype(np.int32)
-        feat = np.zeros((16, K), np.float32)
+        feat = np.zeros((PB.FEAT_ROWS, K), np.float32)
         feat[0] = rng.uniform(0, 48, K)
         feat[1] = rng.uniform(0, 32, K)
         feat[2] = rng.uniform(0.01, 0.3, K)
@@ -184,11 +184,11 @@ class TestKernelLogic:
         feat[4] = rng.uniform(0.01, 0.3, K)
         feat[5] = rng.uniform(0.002, 0.9, K)
         feat[6:10] = rng.uniform(0, 1, (4, K))
-        out = np.asarray(PB.blend_pallas(
+        out5 = np.asarray(PB.blend_pallas(
             jnp.asarray(feat), jnp.asarray(starts), jnp.asarray(stops),
-            jnp.asarray([0], np.int32), gx, T, K, True))
+            jnp.asarray([0], np.int32), jnp.zeros(3), gx, T, K, True))
         sim = kernel_sim_forward(feat, starts, stops, gx, T)
-        np.testing.assert_allclose(out, sim, atol=1e-5)
+        np.testing.assert_allclose(out5, sim[:, :, 0:5], atol=1e-5)
 
 
 def kernel_sim_backward(feat, starts, stops, gout, grid_x, num_tiles):
@@ -199,7 +199,7 @@ def kernel_sim_backward(feat, starts, stops, gout, grid_x, num_tiles):
     shared between consecutive tiles accumulated in VMEM)."""
     CH = PB.CHUNK
     K = feat.shape[1]
-    dfeat = np.zeros((16, K), np.float32)
+    dfeat = np.zeros((PB.FEAT_ROWS, K), np.float32)
     fwd = kernel_sim_forward(feat, starts, stops, grid_x, num_tiles)
     for t in range(num_tiles):
         tx, ty = t % grid_x, t // grid_x
@@ -272,7 +272,7 @@ class TestKernelBackwardLogic:
         lens = [37, 129, 0, 200, 95, 61]
         starts = np.cumsum([0] + lens[:-1]).astype(np.int32)
         stops = (starts + np.array(lens)).astype(np.int32)
-        feat = np.zeros((16, K), np.float32)
+        feat = np.zeros((PB.FEAT_ROWS, K), np.float32)
         feat[0] = rng.uniform(0, 48, K)
         feat[1] = rng.uniform(0, 32, K)
         feat[2] = rng.uniform(0.01, 0.3, K)
@@ -289,10 +289,11 @@ class TestKernelBackwardLogic:
         row = jnp.asarray([0], np.int32)
 
         out, vjp = jax.vjp(
-            lambda f: PB.blend_pallas(f, jstarts, jstops, row, gx, T, K, True),
+            lambda f: PB.blend_pallas(f, jstarts, jstops, row, jnp.zeros(3),
+                                      gx, T, K, True),
             jfeat,
         )
-        dfeat = np.asarray(vjp(jnp.asarray(gout))[0])
+        dfeat = np.asarray(vjp(jnp.asarray(gout[:, :, 0:5]))[0])
         sim = kernel_sim_backward(feat, starts, stops, gout, gx, T)
         np.testing.assert_allclose(dfeat, sim, rtol=1e-4, atol=1e-4)
 
