@@ -30,6 +30,43 @@ import jax
 import jax.numpy as jnp
 
 
+def fast_cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum of a 1-D int32 array via MXU triangular matmuls.
+
+    XLA lowers jnp.cumsum over a few-hundred-k element axis to a serial
+    log-pass chain (~1 ms at K=393k on v5e); two levels of [·,128] @
+    [128,128] triangular matmuls do it in ~0.1 ms. Exact for values whose
+    running total stays below 2^24: inputs are split losslessly by the
+    f32 HIGHEST-precision (bf16x6) matmul and products against the 0/1
+    triangle accumulate in f32, which is integer-exact to 2^24 —
+    covered by tests/test_pallas_raster.py::test_fast_cumsum_exact.
+    """
+    n = x.shape[0]
+    B = 128
+    nb = -(-n // B)
+    xf = jnp.pad(x.astype(jnp.float32), (0, nb * B - n)).reshape(nb, B)
+    i = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    tri_incl = (i <= j).astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    within = jax.lax.dot_general(
+        xf, tri_incl, (((1,), (0,)), ((), ())), precision=hi
+    )                                           # [nb, B] within-row inclusive
+    row_tot = within[:, -1]                     # [nb]
+    if nb > B:
+        row_pref = fast_cumsum_i32(row_tot.astype(jnp.int32)).astype(
+            jnp.float32
+        )
+    else:
+        pad = jnp.pad(row_tot, (0, B - nb)).reshape(1, B)
+        row_pref = jax.lax.dot_general(
+            pad, tri_incl, (((1,), (0,)), ((), ())), precision=hi
+        )[0, :nb]
+    shift = row_pref - row_tot                  # exclusive row prefix
+    out = (within + shift[:, None]).reshape(nb * B)[:n]
+    return out.astype(jnp.int32)
+
+
 class BinningOut(NamedTuple):
     gauss_id: jnp.ndarray     # [K] int32 Gaussian index per sorted instance
     tile_id: jnp.ndarray      # [K] int32 sorted tile id (= sentinel for padding)
@@ -141,7 +178,7 @@ def bin_gaussians_fast(
     tmin_s = jnp.take(tile_min, order, axis=0)
     tmax_s = jnp.take(tile_max, order, axis=0)
 
-    offsets = jnp.cumsum(tt_s)
+    offsets = fast_cumsum_i32(tt_s)
     num_rendered = offsets[-1] if P > 0 else jnp.int32(0)
     starts = offsets - tt_s
 
@@ -155,7 +192,7 @@ def bin_gaussians_fast(
     head = jnp.zeros((budget,), jnp.int32).at[
         jnp.where(nonempty, starts, budget)
     ].add(1, mode="drop")
-    rank = jnp.cumsum(head) - 1
+    rank = fast_cumsum_i32(head) - 1
     in_range = k < num_rendered
     rank_safe = jnp.where(in_range, rank, 0)
 
@@ -187,18 +224,17 @@ def bin_gaussians_fast(
         (tile, gid_slot), num_keys=1, is_stable=True
     )
 
-    tile_ids = jnp.arange(T, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_s, tile_ids, side="left").astype(
-        jnp.int32
-    )
-    tile_stop = jnp.searchsorted(tile_s, tile_ids, side="right").astype(
-        jnp.int32
-    )
+    # ONE searchsorted over T+1 boundaries: start[t] = first slot with
+    # tile ≥ t, and stop[t] = start[t+1] (integer keys make side='right' at
+    # t equal side='left' at t+1) — halves the binary-search whiles.
+    bounds = jnp.searchsorted(
+        tile_s, jnp.arange(T + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
     return BinningOut(
         gauss_id=g_s,
         tile_id=tile_s,
-        tile_start=tile_start,
-        tile_stop=tile_stop,
+        tile_start=bounds[:T],
+        tile_stop=bounds[1:],
         num_rendered=num_rendered.astype(jnp.int32),
         valid=tile_s < sentinel_tile,
     )

@@ -127,6 +127,23 @@ def _bin_scene(p, cam, w, h, K, grid):
     return feat, np.asarray(bins.tile_start), np.asarray(bins.tile_stop)
 
 
+def test_fast_cumsum_exact():
+    """MXU-matmul cumsum must be integer-exact at production sizes: totals
+    up to ~2^22 (instance budgets), including the two-level recursion path
+    (n > 128·128) and non-multiple-of-128 lengths."""
+    from fourdgs_tpu.ops.binning import fast_cumsum_i32
+
+    rng = np.random.default_rng(0)
+    for n in (1, 127, 128, 129, 16384, 384 * 1024 + 37):
+        x = rng.integers(0, 12, n).astype(np.int32)   # totals ~ 2.3M < 2^24
+        got = np.asarray(fast_cumsum_i32(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.cumsum(x).astype(np.int32))
+    # head-bit pattern at budget scale (the binning use case)
+    x = (rng.random(393216) < 0.17).astype(np.int32)
+    got = np.asarray(fast_cumsum_i32(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.cumsum(x).astype(np.int32))
+
+
 class TestFastBinning:
     def test_matches_lexicographic_binning(self):
         cam = look_at_camera([0.3, -0.2, -4], [0, 0, 0], width=64, height=64)
