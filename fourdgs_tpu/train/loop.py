@@ -81,6 +81,11 @@ def make_train_step(
         # keeping the Pallas custom_vjp out of vmap keeps XLA compile times
         # sane on the remote-compile TPU path.
         B = gts_in.shape[0]
+        if gts_in.dtype == jnp.uint8:
+            # loader/device-cache format: uint8 [B,H,W,C] — normalize and
+            # transpose INSIDE the jitted step so it fuses with the loss
+            # tiling instead of costing a separate host-side dispatch
+            gts_in = gts_in.astype(jnp.float32).transpose(0, 3, 1, 2) / 255.0
         per_cam = [
             render_one(jax.tree.map(lambda x: x[i], cams), carrier[i])
             for i in range(B)
@@ -338,6 +343,20 @@ def scene_reconstruction(
 
         prefetcher = PrefetchPool(n_threads=8)
 
+    # Device-resident camera/GT caches: when every GT is an in-memory array
+    # that fits HBM, per-iteration host→device traffic shrinks from
+    # (camera matrices + a full image upload) to ONE [B] int32 index — the
+    # remote-attached TPU pays per-transfer latency, so this is worth
+    # several ms/step. Lazy/video datasets (callable refs) and mesh runs
+    # keep the streaming path.
+    GT_CACHE_CAP = 2 << 30
+    cams_dev = None
+    gt_cache = None
+    if mesh is None and gt_list and not any(callable(g) for g in gt_list):
+        if sum(g.nbytes for g in gt_list) <= GT_CACHE_CAP:
+            cams_dev = jax.tree.map(lambda *xs: jnp.stack(xs), *cam_arrays)
+            gt_cache = jnp.asarray(np.stack(gt_list))
+
     pending_idx = draw_batch()
     if prefetcher:
         prefetcher.submit_batch([gt_list[i] for i in pending_idx])
@@ -393,24 +412,32 @@ def scene_reconstruction(
             sh_deg = min(sh_deg + 1, max_sh)
 
         batch_idx = pending_idx
-        if prefetcher:
-            gts_np = prefetcher.wait_batch()
+        if gt_cache is not None:
+            idx_dev = jnp.asarray(np.asarray(batch_idx, np.int32))
+            gts = jnp.take(gt_cache, idx_dev, axis=0)
+            batch_cams = jax.tree.map(
+                lambda x: jnp.take(x, idx_dev, axis=0), cams_dev
+            )
+            pending_idx = draw_batch()
         else:
-            gts_np = np.stack([
-                g() if callable(g) else g
-                for g in (gt_list[i] for i in batch_idx)
-            ])
-        batch_cams = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[cam_arrays[i] for i in batch_idx]
-        )
-        pending_idx = draw_batch()
-        if prefetcher:
-            prefetcher.submit_batch([gt_list[i] for i in pending_idx])
-        if gts_np.dtype == np.uint8:
-            # loader keeps uint8 [H,W,3]; normalize + CHW on device
-            gts = jnp.asarray(gts_np).astype(jnp.float32).transpose(0, 3, 1, 2) / 255.0
-        else:
+            if prefetcher:
+                gts_np = prefetcher.wait_batch()
+            else:
+                gts_np = np.stack([
+                    g() if callable(g) else g
+                    for g in (gt_list[i] for i in batch_idx)
+                ])
+            batch_cams = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[cam_arrays[i] for i in batch_idx]
+            )
+            pending_idx = draw_batch()
+            if prefetcher:
+                prefetcher.submit_batch([gt_list[i] for i in pending_idx])
             gts = jnp.asarray(gts_np)
+        if gts.dtype == jnp.uint8 and mesh is not None:
+            # the sharded trainer expects float CHW; the single-device step
+            # converts uint8 inside the jit instead
+            gts = gts.astype(jnp.float32).transpose(0, 3, 1, 2) / 255.0
         if timer:
             timer.end_timer(f"{stage}_data_loading")
             timer.start_timer(f"{stage}_render")

@@ -81,6 +81,44 @@ def make_gt_scene(n=24, seed=0, moving=False):
     return gt, cams
 
 
+class TestUint8DeviceCache:
+    def test_uint8_hwc_gt_matches_float_chw(self):
+        """The device-cache path feeds uint8 [H,W,3] GT straight into the
+        jitted step (conversion happens in-jit); training metrics must match
+        the float-CHW path on identically-quantized images."""
+        cfg = tiny_cfg()
+        gt, cams = make_gt_scene()
+        rng = np.random.default_rng(1)
+        pts = (np.asarray(gt["means3d"]) + rng.normal(0, 0.05, (24, 3)))
+        cols = np.full((24, 3), 0.5, np.float32)
+
+        def run(cam_list):
+            state = G.create_from_pcd(
+                jax.random.key(0), cfg, pts.astype(np.float32), cols, 1.0
+            )
+            opt_state = adam.init(state.params)
+            _, _, log = scene_reconstruction(
+                cfg, state, opt_state, cam_list, "coarse", 6,
+                cameras_extent=3.0, log_interval=2,
+            )
+            return log.iterations
+
+        to_u8 = lambda img: np.clip(
+            np.round(img.transpose(1, 2, 0) * 255.0), 0, 255
+        ).astype(np.uint8)
+        cams_u8 = [(c, to_u8(img)) for c, img in cams]
+        # float path on the SAME quantized pixels isolates dtype plumbing
+        cams_f32 = [
+            (c, u.astype(np.float32).transpose(2, 0, 1) / 255.0)
+            for (c, _), (_, u) in zip(cams, cams_u8)
+        ]
+        it_u8 = run(cams_u8)
+        it_f32 = run(cams_f32)
+        for a, b in zip(it_u8, it_f32):
+            assert abs(a["loss"] - b["loss"]) < 1e-6
+            assert abs(a["psnr"] - b["psnr"]) < 1e-4
+
+
 class TestCoarseTraining:
     @pytest.mark.slow
     def test_loss_decreases_and_psnr_improves(self):
