@@ -152,6 +152,12 @@ class TpuParams:
     # halves binning-gather + kernel-DMA bytes (~7% step speedup). In-kernel
     # math stays float32. Off by default to keep bit-level reference parity.
     payload_bf16: bool = False
+    # Per-instance ellipse-vs-tile slot culling (ops.binning): output-exact
+    # (drops only instances whose every pixel the blend α-floor gate zeroes)
+    # but costs an extra [K,4] gather + test (~1.5 ms at 800×800). Pays on
+    # strongly anisotropic trained scenes where the rect over-covers corner
+    # tiles; loses on near-isotropic workloads — off by default.
+    ellipse_tile_cull: bool = False
     # Mesh axes for multi-chip training: cameras over 'data', primitive/tile
     # work over 'model' (SURVEY.md §2.7).
     mesh_data: int = 1

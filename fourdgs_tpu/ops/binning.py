@@ -148,6 +148,10 @@ def bin_gaussians_fast(
     grid_x: int,
     grid_y: int,
     budget: int,
+    means2d: jnp.ndarray | None = None,   # [P,2] pixel centers (slot cull)
+    lam_min: jnp.ndarray | None = None,   # [P] conic min eigenvalue
+    cull_c: jnp.ndarray | None = None,    # [P] ln(255·op)
+    tile_row_offset=0,
 ) -> BinningOut:
     """Single-key binning: pre-sort Gaussians by depth, then stable-sort
     instances by tile id only.
@@ -197,17 +201,24 @@ def bin_gaussians_fast(
     rank_safe = jnp.where(in_range, rank, 0)
 
     # one fused per-slot gather: (start, tmin_x, tmin_y, rect_w, gauss_id)
-    packed = jnp.stack(
-        [
-            starts,
-            tmin_s[:, 0],
-            tmin_s[:, 1],
-            jnp.maximum(tmax_s[:, 0] - tmin_s[:, 0], 1),
-            order,
-        ],
-        axis=1,
-    )  # [P, 5] int32
-    row = jnp.take(packed, rank_safe, axis=0)      # [K, 5]
+    # (+ bitcast float columns mean_x, mean_y, λmin, c for the slot cull)
+    cols = [
+        starts,
+        tmin_s[:, 0],
+        tmin_s[:, 1],
+        jnp.maximum(tmax_s[:, 0] - tmin_s[:, 0], 1),
+        order,
+    ]
+    do_cull = means2d is not None and lam_min is not None
+    if do_cull:
+        bc = lambda f: jax.lax.bitcast_convert_type(
+            jnp.take(jax.lax.stop_gradient(f), order), jnp.int32
+        )
+        cols += [
+            bc(means2d[:, 0]), bc(means2d[:, 1]), bc(lam_min), bc(cull_c)
+        ]
+    packed = jnp.stack(cols, axis=1)               # [P, 5 or 9] int32
+    row = jnp.take(packed, rank_safe, axis=0)      # [K, 5 or 9]
     local = k - row[:, 0]
     rect_w = row[:, 3]
     tx = row[:, 1] + local % rect_w
@@ -215,6 +226,24 @@ def bin_gaussians_fast(
     tile = jnp.where(in_range, ty * grid_x + tx, sentinel_tile).astype(
         jnp.int32
     )
+
+    if do_cull:
+        # Ellipse-vs-tile cull (exact-safe): ½·dᵀ·conic·d ≥ ½·λmin·‖d‖²,
+        # so if the 1-pixel-dilated tile box is farther from the mean than
+        # √(2c/λmin), no pixel reaches α = 1/255 and the blend kernel's own
+        # α-floor gate would zero the instance — dropping it here only
+        # removes dead blend work (corner tiles of the rect). The dilation
+        # absorbs bf16 payload rounding of mean/conic in the kernel.
+        from fourdgs_tpu.ops import constants as _C
+
+        fc = lambda c: jax.lax.bitcast_convert_type(row[:, c], jnp.float32)
+        mx, my, lam, cc = fc(5), fc(6), fc(7), fc(8)
+        px0 = (tx * _C.TILE_X).astype(jnp.float32) - 1.0
+        py0 = ((ty + tile_row_offset) * _C.TILE_Y).astype(jnp.float32) - 1.0
+        dx = mx - jnp.clip(mx, px0, px0 + (_C.TILE_X + 1.0))
+        dy = my - jnp.clip(my, py0, py0 + (_C.TILE_Y + 1.0))
+        dead = 0.5 * lam * (dx * dx + dy * dy) > cc
+        tile = jnp.where(dead, sentinel_tile, tile)
 
     # slot order is depth order (rank is non-decreasing in k), so a stable
     # single-key sort on tile yields the CUDA (tile, depth) order; the sort

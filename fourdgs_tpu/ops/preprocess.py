@@ -34,6 +34,8 @@ class PreprocessOut(NamedTuple):
     tile_min: jnp.ndarray     # [P,2] int32 inclusive tile rect min (x, y)
     tile_max: jnp.ndarray     # [P,2] int32 exclusive tile rect max (x, y)
     tiles_touched: jnp.ndarray  # [P] int32 number of tiles overlapped
+    lam_min: jnp.ndarray | None = None  # [P] conic min eigenvalue (slot cull)
+    cull_c: jnp.ndarray | None = None   # [P] ln(255·op) contribution bound
 
 
 def project_points(means3d, world_view, full_proj):
@@ -265,6 +267,29 @@ def preprocess(
         )
         rgb = sh_lib.sh_to_rgb(sh_degree, shs, dirs)
 
+    lam_min = None
+    cull_c = None
+    if opacities is not None:
+        # Per-instance ellipse-vs-tile cull support (ops.binning): the
+        # quadratic satisfies ½·dᵀ·conic·d ≥ ½·λmin(conic)·‖d‖², so a tile
+        # whose closest point to the mean is farther than √(2c/λmin)
+        # contains no pixel with α ≥ 1/255 — the blend kernel's own
+        # α-floor gate (forward.cu:346-349) would zero every one of its
+        # pixels, so dropping the instance is output-exact.
+        ca2, cb2, cc2 = conic[..., 0], conic[..., 1], conic[..., 2]
+        half_tr = 0.5 * (ca2 + cc2)
+        lam_min = jnp.maximum(
+            half_tr - jnp.sqrt(
+                jnp.maximum((0.5 * (ca2 - cc2)) ** 2 + cb2 * cb2, 0.0)
+            ),
+            0.0,
+        )
+        cull_c = jnp.log(
+            jnp.maximum(
+                jax.lax.stop_gradient(opacities.reshape(-1)), 1e-12
+            ) * (1.0 / C.ALPHA_FLOOR)
+        )
+
     return PreprocessOut(
         means2d=means2d,
         depths=depths,
@@ -274,4 +299,6 @@ def preprocess(
         tile_min=jnp.stack([tmin_x, tmin_y], axis=-1),
         tile_max=jnp.stack([tmax_x, tmax_y], axis=-1),
         tiles_touched=tiles,
+        lam_min=lam_min,
+        cull_c=cull_c,
     )

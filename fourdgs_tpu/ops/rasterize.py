@@ -53,6 +53,7 @@ def rasterize_pallas(
     tile_rows: int | None = None,
     payload_dtype=jnp.float32,
     tile_space: bool = False,
+    ellipse_tile_cull: bool = False,
 ) -> TiledRasterOut:
     """Render one camera through the Pallas pipeline (differentiable).
 
@@ -108,10 +109,19 @@ def rasterize_pallas(
         grid_y = tile_rows
     T = grid_x * grid_y
 
+    cull_kw = {}
+    if ellipse_tile_cull:
+        cull_kw = dict(
+            means2d=jax.lax.stop_gradient(means2d),
+            lam_min=pre.lam_min,
+            cull_c=pre.cull_c,
+            tile_row_offset=tile_row_offset,
+        )
     bins = bin_gaussians_fast(
         tile_min, tile_max, tiles_touched,
         pre.depths,
         grid_x, grid_y, K,
+        **cull_kw,
     )
     tile_len = bins.tile_stop - bins.tile_start           # [T]
 

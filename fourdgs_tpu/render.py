@@ -144,6 +144,7 @@ def render(
             payload_dtype=(jnp.bfloat16 if cfg.tpu.payload_bf16
                            else jnp.float32),
             tile_space=tile_space,
+            ellipse_tile_cull=cfg.tpu.ellipse_tile_cull,
         )
         return RenderOut(
             color=out.color, depth=out.depth, alpha=out.alpha,

@@ -169,6 +169,51 @@ class TestFastBinning:
         )
 
 
+class TestEllipseTileCull:
+    def test_cull_is_output_exact_and_fires(self):
+        """Slot culling (ellipse-vs-tile) may only drop instances whose
+        every pixel the blend gate would zero (α < 1/255): the simulated
+        forward over the culled binning must equal the uncalled one, and on
+        an anisotropic low-opacity scene the cull must actually fire."""
+        w = h = 64
+        cam = look_at_camera([0.2, -0.3, -4], [0, 0, 0], width=w, height=h)
+        p = random_scene(96, seed=9, spread=0.5)
+        # stretch + dim: big axis-ratio ellipses with small contribution
+        # radii — the 3σ/extent rect then over-covers corner tiles
+        p["scales"] = p["scales"].at[:, 0].mul(6.0)
+        p["opacities"] = jnp.full((96,), 0.02)
+        K = 8192
+        pre = preprocess(
+            p["means3d"], p["scales"], p["rotations"], p["shs"],
+            jnp.array(cam.camera_center), jnp.array(cam.world_view),
+            jnp.array(cam.full_proj), cam.tanfovx, cam.tanfovy, w, h, 3,
+            opacities=p["opacities"],
+        )
+        plain = bin_gaussians_fast(pre.tile_min, pre.tile_max,
+                                   pre.tiles_touched, pre.depths, 4, 4, K)
+        culled = bin_gaussians_fast(
+            pre.tile_min, pre.tile_max, pre.tiles_touched, pre.depths,
+            4, 4, K, means2d=pre.means2d, lam_min=pre.lam_min,
+            cull_c=pre.cull_c,
+        )
+        n_plain = int(jnp.sum(plain.valid))
+        n_cull = int(jnp.sum(culled.valid))
+        assert n_cull < n_plain, "cull never fired on the stretched scene"
+
+        opac = np.asarray(p["opacities"]).reshape(-1)
+        table = np.concatenate([
+            np.asarray(pre.means2d), np.asarray(pre.conic), opac[:, None],
+            np.asarray(pre.rgb), np.asarray(pre.depths)[:, None],
+            np.zeros((96, 6), np.float32)], axis=1)
+        outs = []
+        for b in (plain, culled):
+            feat = table[np.asarray(b.gauss_id)].T.astype(np.float32)
+            outs.append(kernel_sim_forward(
+                feat, np.asarray(b.tile_start), np.asarray(b.tile_stop),
+                4, 16))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
+
 class TestKernelLogic:
     """Pallas kernels vs the independent NumPy simulation of their spec —
     exact on ANY scene (same association by construction)."""
