@@ -5,8 +5,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Workload: fine-stage 4DGS training step — HexPlane + deformation MLP forward,
 tiled rasterize fwd+bwd, Adam — on a synthetic bouncingballs-scale scene
 (dnerf config shape: 800×800 render, defor_depth 1, net_width 64,
-multires [1,2], ~60k alive Gaussians, batch 1). Metric is trained
-pixels/s/chip = H·W·batch·steps ÷ wall-clock.
+multires [1,2], ~60k alive Gaussians, batch 1), trained against REAL GT
+images rendered from bench_quality's ground-truth Gaussian scene. Metric is
+trained pixels/s/chip = H·W·batch·steps ÷ wall-clock.
 
 Baseline derivation (BASELINE.md): the reference trains D-NeRF in 8 min for
 3k coarse + 20k fine iterations at 800×800 on an RTX-3090-class GPU
@@ -86,9 +87,31 @@ def build_workload(height=800, width=800, n_points=60_000, capacity=65_536,
                                  time=i / max(batch, 1))
         ))
     batch_cams = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
-    gts = jnp.asarray(
-        rng.uniform(0, 1, (batch, 3, height, width)).astype(np.float32)
-    )
+    # REAL GT (verdict r3 #3): render the batch cameras over the known
+    # bouncingballs-style ground-truth Gaussian scene (bench_quality's) with
+    # the production rasterizer, so the measured throughput reflects a real
+    # loss landscape and instance drift rather than uniform noise.
+    from bench_quality import gt_raster_args, make_gt_scene
+    from fourdgs_tpu.ops.rasterize import rasterize_pallas
+
+    pts_gt, cols_gt, scales_gt, offsets = make_gt_scene()
+    extra = gt_raster_args(pts_gt, cols_gt, scales_gt)
+    bg = jnp.zeros(3)
+
+    @jax.jit
+    def gt_render(means_t, cam):
+        return rasterize_pallas(
+            means_t, extra["scales"], extra["rotations"],
+            extra["opacities"], extra["shs"],
+            cam.camera_center, cam.world_view, cam.full_proj,
+            cam.tanfovx, cam.tanfovy, width, height, 0, bg,
+            instance_budget=64 * 1024,
+        ).color
+
+    gts = jnp.stack([
+        gt_render(jnp.asarray(pts_gt + offsets(i / max(batch, 1))), c)
+        for i, c in enumerate(cams)
+    ])
     step = make_train_step(cfg, width, height, "fine", active_sh_degree=3)
     return step, state, adam_state, batch_cams, gts
 

@@ -139,6 +139,12 @@ class TpuParams:
     # Fixed-capacity primitive budget (alive-mask design). The reference's
     # densify gate caps P at 360k (train.py:357); capacity must exceed it.
     capacity: int = 400_000
+    # Initial [P]-array capacity. 0 = auto: the 16384-multiple covering
+    # 4× the init cloud, capped by `capacity`; the training loop then
+    # doubles it toward `capacity` when densification fills 60% of slots
+    # (models.gaussians.grow_capacity) — small scenes never pay big-cap
+    # array math. Set equal to `capacity` to pin the old fixed behavior.
+    capacity_init: int = 0
     # Static tile-pipeline budgets; grown (with recompile) on overflow.
     instance_budget: int = 1 << 21
     tile_budget: int = 4096
@@ -152,16 +158,22 @@ class TpuParams:
     # halves binning-gather + kernel-DMA bytes (~7% step speedup). In-kernel
     # math stays float32. Off by default to keep bit-level reference parity.
     payload_bf16: bool = False
-    # Per-instance ellipse-vs-tile slot culling (ops.binning): output-exact
-    # (drops only instances whose every pixel the blend α-floor gate zeroes)
-    # but costs an extra [K,4] gather + test (~1.5 ms at 800×800). Pays on
-    # strongly anisotropic trained scenes where the rect over-covers corner
-    # tiles; loses on near-isotropic workloads — off by default.
+    # PRE-SLOT ellipse-vs-tile culling (ops.binning._rect_cull_mask):
+    # output-exact (drops only instances whose every pixel the blend α-floor
+    # gate zeroes) and applied BEFORE slot allocation, so dead corner tiles
+    # consume no instance budget and every K-length op (sort/gather/blend/
+    # scatter) shrinks to true post-cull demand. Cost: a fused 32-cell mask
+    # pass over [P] + a 5-step bit-select per slot.
     ellipse_tile_cull: bool = False
     # Mesh axes for multi-chip training: cameras over 'data', primitive/tile
     # work over 'model' (SURVEY.md §2.7).
     mesh_data: int = 1
     mesh_model: int = 1
+    # [P]-sharded fallback (parallel.trainer): params + Adam moments sharded
+    # on 'model' with a per-step all-gather (FSDP pattern). Off by default —
+    # replication is faster below ~5M primitives on 16 GB chips; turn on
+    # when replicated params+moments approach a chip's free HBM.
+    shard_primitives: bool = False
 
 
 @dataclass
@@ -269,3 +281,30 @@ def load_config(path: str | pathlib.Path | None = None, **kw) -> Config:
 
 def config_to_dict(cfg: Config) -> dict:
     return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: dict) -> Config:
+    """Rebuild a Config from a ``config_to_dict`` dump (cfg_args.json).
+
+    The inverse of the cfg replay dump train.py writes — lets offline tools
+    (scripts/gradient_from_checkpoint.py, render.py) reconstruct the exact
+    training configuration of a saved model.
+    """
+    cfg = Config()
+    for attr in set(_GROUPS.values()):
+        gdict = d.get(attr)
+        if not isinstance(gdict, dict):
+            continue
+        group = getattr(cfg, attr)
+        for k, v in gdict.items():
+            if not hasattr(group, k):
+                continue
+            if k == "kplanes_config" and isinstance(v, dict):
+                v = KPlanesConfig(
+                    **{kk: tuple(vv) if kk == "resolution" else vv
+                       for kk, vv in v.items()}
+                )
+            elif isinstance(getattr(group, k), tuple) and isinstance(v, list):
+                v = tuple(v)
+            setattr(group, k, v)
+    return cfg

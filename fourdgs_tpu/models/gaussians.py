@@ -61,9 +61,19 @@ def create_from_pcd(
 ) -> GaussianState:
     """Initialize from a point cloud (gaussian_model.py:137-163) into the
     fixed-capacity layout. Dead slots hold inert values (opacity logit −15,
-    tiny scales) and are masked out of rendering via ``alive``."""
-    cap = cfg.tpu.capacity
+    tiny scales) and are masked out of rendering via ``alive``.
+
+    Capacity starts at ``cfg.tpu.capacity_init`` (auto: the 16384-multiple
+    covering 4×N, never above ``cfg.tpu.capacity``) and grows toward
+    ``cfg.tpu.capacity`` via :func:`grow_capacity` as densification fills
+    slots — [P]-array math is sized by the scene, not the global cap.
+    """
     N = points.shape[0]
+    cap_max = cfg.tpu.capacity
+    cap = cfg.tpu.capacity_init
+    if cap <= 0:
+        cap = -(-max(4 * N, 16384) // 16384) * 16384
+    cap = min(max(cap, N), cap_max)
     if N > cap:
         raise ValueError(f"init cloud ({N}) exceeds capacity ({cap})")
     K = num_sh_coeffs(cfg.model.sh_degree)
@@ -137,6 +147,57 @@ def get_opacity(params) -> jnp.ndarray:
 
 def get_features(params) -> jnp.ndarray:
     return jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+
+
+def grow_capacity(
+    state: GaussianState, adam_state, new_cap: int
+) -> tuple[GaussianState, Any]:
+    """Grow every [P]-shaped array (params, stats, Adam moments) to
+    ``new_cap`` rows, filling new slots with the inert dead-slot values.
+
+    The TPU replacement for torch's physical tensor resizing
+    (gaussian_model.py:367-388): capacity starts small (create_from_pcd
+    auto-init) and DOUBLES toward cfg.tpu.capacity as densification fills
+    slots — so a 2k-point synthetic scene never pays 400k-row array math,
+    while big scenes still reach the reference's 360k cap. Each growth is
+    one host-side pad + a retrace of the (shape-specialized) jitted steps;
+    growths per run are bounded by log2(capacity/init).
+    """
+    old = state.params["xyz"].shape[0]
+    if new_cap <= old:
+        return state, adam_state
+
+    def pad(x, fill=0.0):
+        widths = [(0, new_cap - old)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    params = dict(state.params)
+    params["xyz"] = pad(params["xyz"])
+    params["f_dc"] = pad(params["f_dc"])
+    params["f_rest"] = pad(params["f_rest"])
+    params["scaling"] = pad(params["scaling"], -10.0)
+    params["rotation"] = pad(params["rotation"]).at[old:, 0].set(1.0)
+    params["opacity"] = pad(params["opacity"], -15.0)
+
+    def pad_moments(tree):
+        return {
+            k: (v if k == "deform" else jax.tree.map(pad, v))
+            for k, v in tree.items()
+        }
+
+    adam_state = adam_state._replace(
+        mu=pad_moments(adam_state.mu), nu=pad_moments(adam_state.nu)
+    )
+    state = state._replace(
+        params=params,
+        alive=pad(state.alive, False),
+        max_radii2d=pad(state.max_radii2d),
+        xyz_gradient_accum=pad(state.xyz_gradient_accum),
+        denom=pad(state.denom),
+        deformation_accum=pad(state.deformation_accum),
+        deformation_table=pad(state.deformation_table, False),
+    )
+    return state, adam_state
 
 
 def one_up_sh_degree(state: GaussianState, max_sh_degree: int) -> GaussianState:

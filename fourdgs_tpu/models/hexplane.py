@@ -94,8 +94,15 @@ def _bilinear_plane(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     y = jnp.clip((v + 1.0) * 0.5 * (Rb - 1), 0.0, Rb - 1)
     x0 = jnp.clip(jnp.floor(x), 0, Ra - 1).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(y), 0, Rb - 1).astype(jnp.int32)
-    wx = (x - x0.astype(x.dtype))[:, None]
-    wy = (y - y0.astype(y.dtype))[:, None]
+    # Border-gradient mask (advisor r3): at x0 == Ra−1 the corner weight wx
+    # is exactly 0, but its corner terms read zero padding, so d/dx through
+    # them would be a spurious nonzero (grid_sample border semantics give
+    # slope 0 there). Multiplying by the 0/1 mask leaves every value
+    # bit-identical (0·anything = 0) and zeroes the boundary derivative.
+    wx = ((x - x0.astype(x.dtype))
+          * (x0 < Ra - 1).astype(x.dtype))[:, None]
+    wy = ((y - y0.astype(y.dtype))
+          * (y0 < Rb - 1).astype(y.dtype))[:, None]
     sb = jnp.pad(plane[:, 1:, :], ((0, 0), (0, 1), (0, 0)))    # (a, b+1)
     sa = jnp.pad(plane[1:, :, :], ((0, 1), (0, 0), (0, 0)))    # (a+1, b)
     sab = jnp.pad(plane[1:, 1:, :], ((0, 1), (0, 1), (0, 0)))  # (a+1, b+1)

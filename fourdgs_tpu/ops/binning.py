@@ -35,11 +35,15 @@ def fast_cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
 
     XLA lowers jnp.cumsum over a few-hundred-k element axis to a serial
     log-pass chain (~1 ms at K=393k on v5e); two levels of [·,128] @
-    [128,128] triangular matmuls do it in ~0.1 ms. Exact for values whose
-    running total stays below 2^24: inputs are split losslessly by the
-    f32 HIGHEST-precision (bf16x6) matmul and products against the 0/1
-    triangle accumulate in f32, which is integer-exact to 2^24 —
-    covered by tests/test_pallas_raster.py::test_fast_cumsum_exact.
+    [128,128] triangular matmuls do it in ~0.1 ms.
+
+    PRECONDITION: exact only while the RUNNING TOTAL stays below 2^24
+    (inputs are split losslessly by the f32 HIGHEST-precision bf16x6
+    matmul and products against the 0/1 triangle accumulate in f32,
+    integer-exact to 2^24 — covered by
+    tests/test_pallas_raster.py::test_fast_cumsum_exact). Callers whose
+    totals can exceed ~16.7M must compute grand totals with an exact
+    int32 reduction (jnp.sum) instead of reading the last element.
     """
     n = x.shape[0]
     B = 128
@@ -140,6 +144,79 @@ def bin_gaussians(
     )
 
 
+def _select_bit(mask: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
+    """Position of the ``rank``-th (0-based) set bit of each uint32 mask.
+
+    5-step binary reduction (no data-dependent loop): at each step, if the
+    low ``w`` bits hold ≤ rank set bits, skip past them. Undefined (but
+    in-range) when rank ≥ popcount(mask) — callers gate on validity.
+    ``mask`` may be uint32 or a bit-pattern-carrying int32.
+    """
+    m = (mask if mask.dtype == jnp.uint32
+         else jax.lax.bitcast_convert_type(mask, jnp.uint32))
+    r = rank.astype(jnp.uint32)
+    pos = jnp.zeros_like(m)
+    for w in (16, 8, 4, 2, 1):
+        low = m & jnp.uint32((1 << w) - 1)
+        c = jax.lax.population_count(low)
+        go_hi = c <= r
+        r = r - jnp.where(go_hi, c, 0)
+        pos = pos + jnp.where(go_hi, jnp.uint32(w), 0)
+        m = jnp.where(go_hi, m >> w, low)
+    return pos.astype(jnp.int32)
+
+
+_MASK_CELLS = 32  # rect cells representable in the per-Gaussian cull bitmask
+
+
+def _rect_cull_mask(tile_min, tile_max, tiles_touched, means2d, lam_min,
+                    cull_c, tile_row_offset):
+    """Per-Gaussian bitmask of rect cells that survive the ellipse-vs-tile
+    test, and the resulting exact tiles_touched.
+
+    The test (exact-safe): ½·dᵀ·conic·d ≥ ½·λmin·‖d‖², so if the
+    1-pixel-dilated tile box is farther from the mean than √(2c/λmin), no
+    pixel of the tile reaches α = 1/255 and the blend kernel's own α-floor
+    gate (forward.cu:346-349) would zero the instance — culling only removes
+    dead work. The dilation absorbs bf16 payload rounding of mean/conic.
+
+    Culling BEFORE slot allocation (vs the previous post-sort marking) means
+    dead corner tiles consume no instance budget at all: every downstream
+    K-length op (sort, payload gather, blend DMA, gradient scatter) shrinks
+    to true post-cull demand. Rects larger than 32 cells (rare: >3-tile
+    radius) fall back to the uncalled full rect (mask unused, exact too).
+
+    Returns (mask u32 [P], big bool [P], tiles i32 [P]).
+    """
+    from fourdgs_tpu.ops import constants as _C
+
+    area = tiles_touched
+    rect_w = jnp.maximum(tile_max[:, 0] - tile_min[:, 0], 1)
+    mx = jax.lax.stop_gradient(means2d[:, 0])
+    my = jax.lax.stop_gradient(means2d[:, 1])
+    lam = jax.lax.stop_gradient(lam_min)
+    cc = jax.lax.stop_gradient(cull_c)
+    row_off = jnp.asarray(tile_row_offset, jnp.int32)
+
+    mask = jnp.zeros(area.shape, jnp.uint32)
+    for j in range(_MASK_CELLS):
+        jy = j // rect_w
+        jx = j - jy * rect_w
+        tx = tile_min[:, 0] + jx
+        ty = tile_min[:, 1] + jy
+        px0 = (tx * _C.TILE_X).astype(jnp.float32) - 1.0
+        py0 = ((ty + row_off) * _C.TILE_Y).astype(jnp.float32) - 1.0
+        dx = mx - jnp.clip(mx, px0, px0 + (_C.TILE_X + 1.0))
+        dy = my - jnp.clip(my, py0, py0 + (_C.TILE_Y + 1.0))
+        live = (j < area) & ~(0.5 * lam * (dx * dx + dy * dy) > cc)
+        mask = mask | (live.astype(jnp.uint32) << j)
+    big = area > _MASK_CELLS
+    tiles = jnp.where(
+        big, area, jax.lax.population_count(mask).astype(jnp.int32)
+    )
+    return mask, big, tiles
+
+
 def bin_gaussians_fast(
     tile_min: jnp.ndarray,
     tile_max: jnp.ndarray,
@@ -148,7 +225,7 @@ def bin_gaussians_fast(
     grid_x: int,
     grid_y: int,
     budget: int,
-    means2d: jnp.ndarray | None = None,   # [P,2] pixel centers (slot cull)
+    means2d: jnp.ndarray | None = None,   # [P,2] pixel centers (pre-slot cull)
     lam_min: jnp.ndarray | None = None,   # [P] conic min eigenvalue
     cull_c: jnp.ndarray | None = None,    # [P] ln(255·op)
     tile_row_offset=0,
@@ -169,10 +246,22 @@ def bin_gaussians_fast(
     width, so the slot bookkeeping is fused into ONE packed [P,6] table
     gathered once per slot, and the sort carries the final gauss_id directly
     (profiled on v5e: 9 separate K-ops ≈ 28 ms → 4 K-ops ≈ 10 ms).
+
+    When (means2d, lam_min, cull_c) are given, the exact ellipse-vs-tile
+    cull runs BEFORE slot allocation (see :func:`_rect_cull_mask`): dead
+    corner cells of each rect consume no budget, ``num_rendered`` reports
+    post-cull demand, and every K-length op downstream shrinks with it.
     """
     P = tiles_touched.shape[0]
     T = grid_x * grid_y
     sentinel_tile = jnp.int32(T)
+
+    do_cull = means2d is not None and lam_min is not None
+    if do_cull:
+        cmask, cbig, tiles_touched = _rect_cull_mask(
+            tile_min, tile_max, tiles_touched, means2d, lam_min, cull_c,
+            tile_row_offset,
+        )
 
     depths = jax.lax.stop_gradient(depths)
     order = jnp.argsort(
@@ -183,7 +272,10 @@ def bin_gaussians_fast(
     tmax_s = jnp.take(tile_max, order, axis=0)
 
     offsets = fast_cumsum_i32(tt_s)
-    num_rendered = offsets[-1] if P > 0 else jnp.int32(0)
+    # exact to 2^31 (int32 reduction) even when the duplicated-instance
+    # demand exceeds fast_cumsum_i32's 2^24 envelope; only `starts` used
+    # below the (≪2^24) budget needs the prefix values themselves
+    num_rendered = jnp.sum(tt_s) if P > 0 else jnp.int32(0)
     starts = offsets - tt_s
 
     # Segment ids via scatter + cumsum instead of searchsorted: XLA's
@@ -201,7 +293,7 @@ def bin_gaussians_fast(
     rank_safe = jnp.where(in_range, rank, 0)
 
     # one fused per-slot gather: (start, tmin_x, tmin_y, rect_w, gauss_id)
-    # (+ bitcast float columns mean_x, mean_y, λmin, c for the slot cull)
+    # (+ the cull bitmask and big-rect flag when culling)
     cols = [
         starts,
         tmin_s[:, 0],
@@ -209,41 +301,28 @@ def bin_gaussians_fast(
         jnp.maximum(tmax_s[:, 0] - tmin_s[:, 0], 1),
         order,
     ]
-    do_cull = means2d is not None and lam_min is not None
     if do_cull:
-        bc = lambda f: jax.lax.bitcast_convert_type(
-            jnp.take(jax.lax.stop_gradient(f), order), jnp.int32
-        )
         cols += [
-            bc(means2d[:, 0]), bc(means2d[:, 1]), bc(lam_min), bc(cull_c)
+            jax.lax.bitcast_convert_type(jnp.take(cmask, order), jnp.int32),
+            jnp.take(cbig, order).astype(jnp.int32),
         ]
-    packed = jnp.stack(cols, axis=1)               # [P, 5 or 9] int32
-    row = jnp.take(packed, rank_safe, axis=0)      # [K, 5 or 9]
+    packed = jnp.stack(cols, axis=1)               # [P, 5 or 7] int32
+    row = jnp.take(packed, rank_safe, axis=0)      # [K, 5 or 7]
     local = k - row[:, 0]
     rect_w = row[:, 3]
-    tx = row[:, 1] + local % rect_w
-    ty = row[:, 2] + local // rect_w
+    if do_cull:
+        # slot-local rank → surviving cell index: the local-th set bit of
+        # the cull mask (identity for >32-cell rects, which keep full rects)
+        cell = jnp.where(
+            row[:, 6] != 0, local, _select_bit(row[:, 5], local)
+        )
+    else:
+        cell = local
+    tx = row[:, 1] + cell % rect_w
+    ty = row[:, 2] + cell // rect_w
     tile = jnp.where(in_range, ty * grid_x + tx, sentinel_tile).astype(
         jnp.int32
     )
-
-    if do_cull:
-        # Ellipse-vs-tile cull (exact-safe): ½·dᵀ·conic·d ≥ ½·λmin·‖d‖²,
-        # so if the 1-pixel-dilated tile box is farther from the mean than
-        # √(2c/λmin), no pixel reaches α = 1/255 and the blend kernel's own
-        # α-floor gate would zero the instance — dropping it here only
-        # removes dead blend work (corner tiles of the rect). The dilation
-        # absorbs bf16 payload rounding of mean/conic in the kernel.
-        from fourdgs_tpu.ops import constants as _C
-
-        fc = lambda c: jax.lax.bitcast_convert_type(row[:, c], jnp.float32)
-        mx, my, lam, cc = fc(5), fc(6), fc(7), fc(8)
-        px0 = (tx * _C.TILE_X).astype(jnp.float32) - 1.0
-        py0 = ((ty + tile_row_offset) * _C.TILE_Y).astype(jnp.float32) - 1.0
-        dx = mx - jnp.clip(mx, px0, px0 + (_C.TILE_X + 1.0))
-        dy = my - jnp.clip(my, py0, py0 + (_C.TILE_Y + 1.0))
-        dead = 0.5 * lam * (dx * dx + dy * dy) > cc
-        tile = jnp.where(dead, sentinel_tile, tile)
 
     # slot order is depth order (rank is non-decreasing in k), so a stable
     # single-key sort on tile yields the CUDA (tile, depth) order; the sort

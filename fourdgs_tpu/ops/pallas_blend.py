@@ -543,9 +543,13 @@ def _blend_bwd(grid_x, num_tiles, k_pad, interpret, res, g_out):
     dfeat = dfeat.astype(feat.dtype)
     # integer operands carry symbolic-zero float0 cotangents
     zero_of = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    # bg is a float operand but not trained: zero cotangent
-    return (dfeat, zero_of(starts), zero_of(stops), zero_of(row_off),
-            jnp.zeros_like(bg))
+    # true bg cotangent: out_q = C_q + T_fin·bg_q per pixel, so
+    # dL/dbg_q = Σ_{tiles,pixels} T_fin · g_out_q  (cheap — both factors are
+    # already materialized; advisor r3 flagged the previous silent zero)
+    dbg = jnp.einsum(
+        "tp,tpq->q", out[:, :, 4], g_out[:, :, 0:3]
+    ).astype(bg.dtype)
+    return (dfeat, zero_of(starts), zero_of(stops), zero_of(row_off), dbg)
 
 
 blend_pallas.defvjp(_blend_fwd, _blend_bwd)

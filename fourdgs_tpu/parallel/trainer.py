@@ -9,11 +9,26 @@ with SPMD over a ``Mesh(('data', 'model'))``:
           each device rasterizes its rows against the full primitive set
           with zero cross-device traffic inside the rasterizer)
 
-Primitive parameters are **replicated**: every slab's preprocess reads all P
-Gaussians anyway, so sharding [P] tensors would force a per-step all-gather
-right before the first use — replication is the communication-optimal layout
-at 4DGS scales (≤360k × ~60 floats ≈ 86 MB). What the mesh buys is the
-pixel-dominated work: rasterize forward+backward, which is >80% of the step.
+Primitive parameters are **replicated by default**: every slab's preprocess
+reads all P Gaussians anyway, so sharding [P] tensors forces a per-step
+all-gather right before the first use — replication is the
+communication-optimal layout at 4DGS scales (≤360k × ~60 floats ≈ 86 MB).
+What the mesh buys is the pixel-dominated work: rasterize forward+backward,
+which is >80% of the step.
+
+``cfg.tpu.shard_primitives`` enables the **[P]-sharded fallback** (SURVEY
+§2.7's primitive-sharding analog, VERDICT r3 #6): per-Gaussian parameters
+AND their Adam moments live sharded on 'model' (axis 0); each step
+all-gathers the parameters over 'model' before preprocess, and autodiff's
+transpose of that gather is exactly the reduce-scatter that returns each
+shard its own gradient slice — the FSDP/ZeRO-3 pattern. Per-step cost: one
+param-sized all-gather (~29 MB at cap) + the (already present) grad psum;
+per-device memory for params+moments drops from 3·S to 3·S/n_model + S
+transient. CROSSOVER: replication is faster below ~2M primitives on 16 GB
+v5e chips (86 MB × 3 ≪ HBM; the all-gather adds ~0.1 ms/step on ICI);
+sharding wins when P×59 floats×3 (params+μ+ν, f32) approaches a chip's free
+HBM after activations — ~5M primitives on v5e (merged multi-scene models,
+merge_many_4dgs.py), or any capacity where replicated moments would OOM.
 
 Inside one jitted shard_map step, each device:
   1. renders its (cameras × tile-row slab) block through the production
@@ -89,6 +104,58 @@ def replicate(mesh: Mesh, tree):
     )
 
 
+# Per-Gaussian parameter leaves ([P, ...], shardable on 'model'); "deform"
+# (the field/MLP subtree) is pixel-independent of P and stays replicated.
+PRIM_KEYS = ("xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation")
+
+
+def _prim_param_specs(params, shard: bool):
+    """PartitionSpec tree for a params dict: prim leaves on 'model' when
+    sharding, deform subtree replicated."""
+    out = {}
+    for key, val in params.items():
+        if key in PRIM_KEYS:
+            out[key] = P("model") if shard else P()
+        else:
+            out[key] = jax.tree.map(lambda _: P(), val)
+    return out
+
+
+def shard_primitives(mesh: Mesh, params_or_moments):
+    """Place a params-shaped pytree with prim leaves sharded on 'model'."""
+    out = {}
+    for key, val in params_or_moments.items():
+        spec = P("model") if key in PRIM_KEYS else P()
+        out[key] = jax.tree.map(
+            lambda x, s=spec: jax.device_put(x, NamedSharding(mesh, s)), val
+        )
+    return out
+
+
+def unshard_primitives(mesh: Mesh, params_or_moments):
+    """Gather a prim-sharded params-shaped pytree back to replicated (for
+    maintenance/densify surgery and checkpointing)."""
+    return replicate(mesh, params_or_moments)
+
+
+def shard_adam(mesh: Mesh, adam_state):
+    """Shard an AdamState's moments like the params (count replicated)."""
+    return adam_state._replace(
+        mu=shard_primitives(mesh, adam_state.mu),
+        nu=shard_primitives(mesh, adam_state.nu),
+        count=jax.device_put(
+            adam_state.count, NamedSharding(mesh, P())
+        ),
+    )
+
+
+def unshard_adam(mesh: Mesh, adam_state):
+    return adam_state._replace(
+        mu=unshard_primitives(mesh, adam_state.mu),
+        nu=unshard_primitives(mesh, adam_state.nu),
+    )
+
+
 def make_sharded_train_step(
     cfg: Config,
     mesh: Mesh,
@@ -107,6 +174,7 @@ def make_sharded_train_step(
     """
     n_data = mesh.shape["data"]
     n_sp = mesh.shape["model"]
+    shard_prim = bool(getattr(cfg.tpu, "shard_primitives", False))
     grid_y = (height + C.TILE_Y - 1) // C.TILE_Y
     if grid_y % n_sp != 0:
         raise ValueError(
@@ -114,6 +182,11 @@ def make_sharded_train_step(
         )
     rows_per = grid_y // n_sp
     slab_h = rows_per * C.TILE_Y
+    if shard_prim and cfg.tpu.capacity % n_sp != 0:
+        raise ValueError(
+            f"shard_primitives needs capacity {cfg.tpu.capacity} divisible "
+            f"by model axis {n_sp}"
+        )
     if interpret is None:
         interpret = cfg.tpu.pallas_interpret or jax.default_backend() == "cpu"
     bg = jnp.array(
@@ -152,12 +225,22 @@ def make_sharded_train_step(
             tile_rows=rows_per,
             payload_dtype=(jnp.bfloat16 if cfg.tpu.payload_bf16
                            else jnp.float32),
+            ellipse_tile_cull=cfg.tpu.ellipse_tile_cull,
         )
         return out, dxyz_abs
 
     def local_loss(params, carrier, state, cams, gts):
         """This device's ADDITIVE share of the global loss: psum over
         ('data','model') of this value == the single-device loss."""
+        if shard_prim:
+            # [P]-sharded mode: gather prim params over 'model' for the
+            # render; autodiff's transpose of this gather is the
+            # reduce-scatter that hands each shard its gradient slice.
+            params = {
+                key: (jax.lax.all_gather(val, "model", axis=0, tiled=True)
+                      if key in PRIM_KEYS else val)
+                for key, val in params.items()
+            }
         row_offset = jax.lax.axis_index("model") * rows_per
         B_local = gts.shape[0]
         B_total = B_local * n_data
@@ -209,15 +292,27 @@ def make_sharded_train_step(
 
     def shard_step(params, adam_state, state, cams, gts, step):
         B_local = gts.shape[0]
-        Pn = params["xyz"].shape[0]
+        # under prim sharding params["xyz"] is the LOCAL [P/n_sp] shard;
+        # the carrier (viewspace-grad harvest) spans the full primitive set
+        Pn = params["xyz"].shape[0] * (n_sp if shard_prim else 1)
         carrier = jnp.zeros((B_local, Pn, 2), jnp.float32)
         (loss_sh, aux), (g_params, g_carrier) = jax.value_and_grad(
             local_loss, argnums=(0, 1), has_aux=True
         )(params, carrier, state, cams, gts)
         l1_sh, sq, radii_l, nrend, tlen, dxyz = aux
 
-        # the ONLY parameter-sized collective of the step
-        g_params = jax.lax.psum(g_params, ("data", "model"))
+        # the ONLY parameter-sized collective of the step. Prim-sharded
+        # leaves already carry the 'model'-axis reduction (the all_gather
+        # transpose is a reduce-scatter), so they psum over 'data' alone.
+        if shard_prim:
+            g_params = {
+                key: jax.lax.psum(
+                    val, "data" if key in PRIM_KEYS else ("data", "model")
+                )
+                for key, val in g_params.items()
+            }
+        else:
+            g_params = jax.lax.psum(g_params, ("data", "model"))
         loss = jax.lax.psum(loss_sh, ("data", "model"))
         l1 = jax.lax.psum(l1_sh, ("data", "model"))
         # viewspace-grad stats: sum over batch + both axes (train.py:266-268)
@@ -265,9 +360,22 @@ def make_sharded_train_step(
 
     @jax.jit
     def train_step(params, adam_state, state, cams, gts, step):
-        pspec = specs_like(params, rep)
-        aspec = specs_like(adam_state, rep)
+        if shard_prim:
+            pspec = _prim_param_specs(params, True)
+            aspec = adam_state._replace(
+                mu=_prim_param_specs(adam_state.mu, True),
+                nu=_prim_param_specs(adam_state.nu, True),
+                count=rep,
+            )
+        else:
+            pspec = specs_like(params, rep)
+            aspec = specs_like(adam_state, rep)
         sspec = specs_like(state, rep)
+        if shard_prim:
+            # state carries its own (sharded) params reference; spec it to
+            # match so no silent per-step reshard/gather happens (the step
+            # itself only reads state.alive/aabb/stats, all replicated)
+            sspec = sspec._replace(params=_prim_param_specs(params, True))
         cam_spec = specs_like(cams, P("data"))
         return shard_map(
             shard_step,

@@ -56,8 +56,9 @@ ALEX_ARCH = [
 ALEX_TAPS = (1, 4, 7, 9, 11)
 ALEX_CHANNELS = (64, 192, 384, 256, 256)
 
-# BaseNet z-score constants (networks.py:41-44); inputs scaled [0,1]→[-1,1]
-# first (the official LPIPS scaling layer these constants were fit for)
+# BaseNet z-score constants (networks.py:41-44), applied to the raw [0,1]
+# input exactly as the reference's vendored net does (it omits upstream
+# richzhang's [0,1]→[-1,1] scaling layer; parity = match the reference)
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
@@ -109,8 +110,12 @@ def make_lpips(weights: dict, net: str = "vgg"):
     w = {k: jnp.asarray(v, jnp.float32) for k, v in weights.items()}
 
     def features(x):
-        # x: [B,3,H,W] in [0,1] → scaling layer → z-score (networks.py:50-63)
-        x = 2.0 * x - 1.0
+        # x: [B,3,H,W] in [0,1] → z-score directly (networks.py:50-56).
+        # NOTE: the reference's vendored lpipsPyTorch applies the richzhang
+        # shift/scale constants to the RAW [0,1] input — it omits upstream's
+        # [0,1]→[-1,1] scaling layer — and metrics.py feeds [0,1] images.
+        # Parity means reproducing that exact computation, so no rescale
+        # here (caught by tests/test_lpips_parity.py torch cross-check).
         x = (x - jnp.asarray(_SHIFT)[None, :, None, None]) / (
             jnp.asarray(_SCALE)[None, :, None, None]
         )

@@ -52,11 +52,44 @@ def convert(net: str, out_dir: str):
     np.savez_compressed(path, **out)
     print(f"wrote {path} ({conv_i} convs, "
           f"{sum(1 for k in out if k.startswith('lin'))} lin layers)")
+    return out
+
+
+def emit_goldens(net: str, weights: dict, out_dir: str,
+                 seed: int = 1234, size: int = 64):
+    """Golden LPIPS distance for the fixed-seed input pair, computed with
+    the CONVERTED weights through an independent torch evaluation of the
+    reference's vendored math (tests/test_lpips_parity.py's oracle).
+
+    tests/test_lpips_parity.py::TestGoldenVectors then proves the JAX port
+    end-to-end on any machine that has the npz + this json (VERDICT r3 #5).
+    """
+    import json
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tests.test_lpips_parity import golden_inputs, torch_lpips_reference
+
+    x, y = golden_inputs(seed, size)
+    d = torch_lpips_reference(
+        weights, net, torch.from_numpy(x), torch.from_numpy(y)
+    )
+    gpath = os.path.join(out_dir, f"lpips_goldens_{net}.json")
+    with open(gpath, "w") as f:
+        json.dump({"seed": seed, "size": size, "distance": d}, f, indent=1)
+    print(f"wrote {gpath} (distance={d:.6f})")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="fourdgs_tpu/assets")
+    ap.add_argument("--goldens", action="store_true",
+                    help="also emit lpips_goldens_<net>.json for the parity "
+                         "test (fixed-seed inputs)")
     args = ap.parse_args()
     for net in ("vgg", "alex"):
-        convert(net, args.out)
+        w = convert(net, args.out)
+        if args.goldens:
+            emit_goldens(net, w, args.out)

@@ -1,0 +1,238 @@
+#!/usr/bin/env python3
+"""Honest single-chip SP-scaling evidence (VERDICT r3 #4).
+
+True N-chip scaling cannot be measured on one chip, but the sharded
+trainer's per-device work CAN: under the ('data','model') mesh each device
+rasterizes a horizontal slab of tile rows against the full primitive set
+(fourdgs_tpu.parallel.trainer), and the only cross-device traffic in the
+step is the parameter-gradient psum (+ the optional SSIM row gather). So
+
+    efficiency(N) ≈ T_full / (N · (T_slab(1/N) + T_comm(N)))
+
+where T_slab is measured HERE on the real chip (render fwd+bwd restricted
+to 1/N of the tile rows via the production tile_rows/tile_row_offset path,
+with the per-shard instance budget the mesh run would use) and T_comm is
+bounded analytically (param-grad psum bytes / ICI bandwidth). Writes
+SCALING.md with the table, extrapolation, and every assumption.
+
+Also records dryrun step parity at 2/4/8 virtual CPU devices (separate
+process each, JAX_PLATFORMS=cpu) — the functional half of the evidence.
+
+Usage: python scripts/measure_scaling.py  (on the TPU host)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _sync(x):
+    import jax
+
+    for leaf in jax.tree.leaves(x):
+        if hasattr(leaf, "ravel"):
+            _ = leaf.ravel()[0].item()
+            return
+
+
+def timeit(fn, *args, iters=15, warmup=3):
+    for _ in range(warmup):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def measure_slabs():
+    import jax
+    import jax.numpy as jnp
+
+    from fourdgs_tpu.utils import compile_cache
+    compile_cache.enable()
+
+    from bench import build_workload
+    from fourdgs_tpu.ops import constants as C
+    from fourdgs_tpu.ops.rasterize import rasterize_pallas
+
+    H = W = 800
+    _, state, _, cams, _ = build_workload(height=H, width=W)
+    params = state.params
+    cam0 = jax.tree.map(lambda x: x[0], cams)
+    grid_y = (H + C.TILE_Y - 1) // C.TILE_Y  # 50
+
+    means3d = params["xyz"]
+    scales = jnp.exp(params["scaling"])
+    rots = params["rotation"]
+    rots = rots / jnp.linalg.norm(rots, axis=-1, keepdims=True)
+    opac = jax.nn.sigmoid(params["opacity"])
+    shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+    bg = jnp.zeros(3)
+
+    results = []
+    for n_model in (1, 2, 4, 8):
+        rows = -(-grid_y // n_model)       # slab height (first shard)
+        # per-shard budget as a mesh run would configure it: measured
+        # demand of the worst slab × 1.4 headroom, 64k-aligned
+        def render_slab(m, s, r, o, sh, budget, rows=rows):
+            return rasterize_pallas(
+                m, s, r, o, sh, cam0.camera_center, cam0.world_view,
+                cam0.full_proj, float(cam0.tanfovx), float(cam0.tanfovy),
+                W, H, 3, bg, instance_budget=budget,
+                tile_row_offset=0, tile_rows=rows, tile_space=True,
+            )
+
+        probe = jax.jit(lambda m, s, r, o, sh: render_slab(
+            m, s, r, o, sh, 384 * 1024).num_rendered)
+        demand = int(probe(means3d, scales, rots, opac, shs))
+        budget = max(-(-int(demand * 1.4) // 65536) * 65536, 65536)
+
+        def loss(m, s, r, o, sh, budget=budget):
+            out = render_slab(m, s, r, o, sh, budget)
+            return jnp.sum(out.color[:, :, :4])
+
+        f = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+        ms = timeit(f, means3d, scales, rots, opac, shs)
+        results.append({
+            "n_model": n_model, "tile_rows": rows, "demand": demand,
+            "budget": budget, "render_fwd_bwd_ms": round(ms, 3),
+        })
+        print(f"model={n_model}: rows={rows} demand={demand} "
+              f"budget={budget} render fwd+bwd {ms:.2f} ms")
+
+    # shared per-device costs that do NOT shrink with the model axis:
+    # preprocess is inside the render timing already; Adam+deform measured
+    # from the full step minus the full render
+    from bench import build_workload as _bw
+    step, state2, adam_state, cams2, gts = _bw(height=H, width=W)
+    full_step_ms = timeit(
+        lambda: step(state2.params, adam_state, state2, cams2, gts, 1),
+        iters=15,
+    )
+    print(f"full train step: {full_step_ms:.2f} ms")
+    return results, full_step_ms
+
+
+def dryrun_parities():
+    rows = []
+    for n in (2, 4, 8):
+        code = (
+            "import jax;"
+            "jax.config.update('jax_platforms','cpu');"
+            f"jax.config.update('jax_num_cpu_devices',{n});"
+            "import __graft_entry__ as ge;"
+            f"ge.dryrun_multichip({n})"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=1200,
+        )
+        line = [l for l in out.stdout.splitlines() if "dryrun_multichip OK" in l]
+        rows.append({"n_devices": n,
+                     "ok": bool(line),
+                     "line": line[0] if line else out.stderr[-300:]})
+        print(rows[-1]["line"])
+    return rows
+
+
+ICI_GBPS = 186.0  # v5e per-link ICI budget (2 links × ~93 GB/s effective)
+
+
+def main():
+    slabs, full_ms = measure_slabs()
+    parities = dryrun_parities()
+
+    t1 = slabs[0]["render_fwd_bwd_ms"]
+    rest_ms = max(full_ms - t1, 0.0)  # adam + deform + loss + stats
+    # param-grad psum: ~59 f32 per primitive + deform net, ring all-reduce
+    # 2·(N-1)/N × bytes over ICI
+    P_BYTES = 65536 * 59 * 4 + 2_000_000
+    lines = []
+    for s in slabs:
+        n = s["n_model"]
+        comm = 2 * (n - 1) / max(n, 1) * P_BYTES / (ICI_GBPS * 1e9) * 1e3
+        t_dev = s["render_fwd_bwd_ms"] + rest_ms + comm
+        s["comm_est_ms"] = round(comm, 3)
+        s["step_est_ms"] = round(t_dev, 3)
+        # fixed global work (one 800×800 camera split over n slabs):
+        # speedup = full_ms / t_dev, efficiency = speedup / n
+        s["speedup_est"] = round(full_ms / t_dev, 3)
+        lines.append(s)
+
+    md = [
+        "# SCALING — measured single-chip slab curve + extrapolation",
+        "",
+        "VERDICT r3 #4: multi-chip hardware is not available in this",
+        "environment; this is the honest bound we CAN measure. Method: the",
+        "sharded trainer's per-device work is `render fwd+bwd over 1/N of",
+        "the tile rows` (production `tile_rows`/`tile_row_offset` slab path",
+        "of `ops/rasterize.py`, per-shard instance budget as a mesh run",
+        "would set it) plus per-device work that does not shrink with N",
+        f"(Adam, deformation, loss glue: measured {rest_ms:.2f} ms as",
+        "full-step minus full-render) plus the parameter-gradient psum",
+        f"(bounded analytically at {ICI_GBPS:.0f} GB/s ICI, ring",
+        "all-reduce, ~17 MB params+deform grads).",
+        "",
+        "All numbers below measured on the real v5e chip at HEAD",
+        "(bench workload: 800×800, 65k Gaussians, fine stage).",
+        "",
+        "| model axis N | slab rows | slab demand | per-shard budget |"
+        " render fwd+bwd (ms) | +fixed +comm (ms) | est. speedup |"
+        " est. efficiency |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for s in lines:
+        md.append(
+            f"| {s['n_model']} | {s['tile_rows']} | {s['demand']} |"
+            f" {s['budget']} | {s['render_fwd_bwd_ms']} |"
+            f" {s['step_est_ms']} | {s['speedup_est']} |"
+            f" {round(s['speedup_est']/s['n_model'], 3)} |"
+        )
+    md += [
+        "",
+        f"Full single-device train step: **{full_ms:.2f} ms**.",
+        "",
+        "## Assumptions & caveats",
+        "- The psum estimate assumes the 'model' axis rides ICI",
+        "  (make_hybrid_mesh places it innermost for exactly this reason);",
+        "  DCN ('data' axis) carries only scalar metrics psums + the",
+        "  param-grad reduce across hosts, once per step.",
+        "- Per-shard instance demand is the FIRST slab's (worst ≈ middle",
+        "  slabs); budgets rounded to 64k. The per-(Gaussian,slab) rect",
+        "  clip means total instance work grows slightly with N (a",
+        "  Gaussian straddling a slab boundary bins on both shards) —",
+        "  visible in the demand column.",
+        "- Preprocess runs over the FULL primitive set on every shard",
+        "  (replicated layout) — it is inside the slab render timing, and",
+        "  is the main reason efficiency falls below 1 at large N.",
+        "- No measurement of host-side dispatch overlap across processes",
+        "  (the 2-process gloo smoke in tests/test_parallel.py covers",
+        "  functional multi-host; per-step dispatch is identical code).",
+        "",
+        "## Dryrun step parity (virtual CPU devices)",
+        "",
+    ]
+    for p in parities:
+        md.append(f"- {p['n_devices']} devices: "
+                  f"{'OK — ' + p['line'] if p['ok'] else 'FAIL — ' + p['line']}")
+    md.append("")
+    md.append("Raw JSON: `SCALING.json`.")
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "SCALING.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    with open(os.path.join(root, "SCALING.json"), "w") as f:
+        json.dump({"slabs": lines, "full_step_ms": full_ms,
+                   "rest_ms": rest_ms, "parity": parities}, f, indent=1)
+    print("wrote SCALING.md + SCALING.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,27 @@ class TestTrainCLI:
         params = load_gaussian_ply(os.path.join(out, plys[0]))
         assert params["xyz"].shape[0] == 2000  # init cloud size
 
+    def test_gradient_from_checkpoint(self, trained_model):
+        """Checkpoint-based gradient timeline CLI (reference
+        visualize_gradient_from_checkpoint.py:1-254): PNG + JSON from a
+        saved model, no retraining."""
+        data_dir, model_path = trained_model
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "scripts"))
+        import gradient_from_checkpoint as gfc
+
+        out = os.path.join(model_path, "grad_ckpt")
+        gfc.main([
+            "--checkpoint", os.path.join(model_path, "chkpnt_fine_6"),
+            "-s", data_dir, "--out", out, "--n_times", "3",
+        ])
+        timeline = json.load(
+            open(os.path.join(out, "gradient_timeline.json"))
+        )
+        assert len(timeline) == 3
+        assert all(np.isfinite(r["grad_norm_mean"]) for r in timeline)
+        assert any(f.endswith(".png") for f in os.listdir(out))
+
 
 class TestMeshCLI:
     """train.py --mesh: the sharded dp×sp trainer reachable from the CLI

@@ -178,6 +178,60 @@ class TestShardedTrainer:
             rtol=2e-4, atol=5e-5,
         )
 
+    def test_shard_primitives_matches_single_device(self):
+        """[P]-sharded fallback (VERDICT r3 #6): params + Adam moments
+        sharded on 'model' with the per-step all-gather — leaf-for-leaf
+        parity with the single-device step at 2x2."""
+        cfg = sp_cfg()
+        cfg.tpu.shard_primitives = True
+        state = build_state(cfg)
+        adam0 = adam.init(state.params)
+        W, H = 32, 32
+        batch_cams, gts = make_batch(2, W, H)
+
+        step_1 = make_train_step(cfg, W, H, "fine", active_sh_degree=1)
+        p1, a1, s1, m1 = step_1(
+            state.params, adam0, state, batch_cams, gts, 1
+        )
+
+        mesh = pmesh.make_mesh(2, 2)
+        state_r = trainer.replicate(mesh, state)
+        state_r = state_r._replace(
+            params=trainer.shard_primitives(mesh, state_r.params)
+        )
+        adam_r = trainer.shard_adam(mesh, trainer.replicate(mesh, adam0))
+        cams_r, gts_r = trainer.place_batch(mesh, batch_cams, gts)
+        step_n = trainer.make_sharded_train_step(
+            cfg, mesh, W, H, "fine", active_sh_degree=1, interpret=True
+        )
+        pn, an, sn, mn = step_n(
+            state_r.params, adam_r, state_r, cams_r, gts_r, 1
+        )
+
+        # outputs come back sharded on 'model': check layout, then values
+        assert "model" in str(
+            pn["xyz"].sharding.spec
+        ), f"xyz not sharded: {pn['xyz'].sharding}"
+        assert abs(float(m1["loss"]) - float(mn["loss"])) < 1e-5
+        for k in ("xyz", "opacity", "scaling", "rotation", "f_dc", "f_rest"):
+            np.testing.assert_allclose(
+                np.asarray(pn[k]), np.asarray(p1[k]),
+                rtol=2e-4, atol=2e-6, err_msg=f"param mismatch: {k}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(an.mu[k]), np.asarray(a1.mu[k]),
+                rtol=2e-4, atol=5e-5, err_msg=f"mu mismatch: {k}",
+            )
+        for a, b in zip(jax.tree.leaves(pn["deform"]),
+                        jax.tree.leaves(p1["deform"])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+            )
+        np.testing.assert_allclose(
+            np.asarray(sn.xyz_gradient_accum),
+            np.asarray(s1.xyz_gradient_accum), rtol=2e-4, atol=1e-7,
+        )
+
 
 @pytest.mark.slow
 class TestMultiProcess:

@@ -161,6 +161,64 @@ class TestCoarseTraining:
         )
         assert int(G.count_alive(state)) > n0
 
+    @pytest.mark.slow
+    def test_capacity_growth_mid_training(self):
+        """Dynamic capacity: start with a capacity barely above the init
+        cloud, densify hard, and verify the loop doubles the [P]-arrays
+        toward cfg.tpu.capacity with training still converging."""
+        cfg = tiny_cfg(capacity=256)
+        cfg.tpu.capacity_init = 32         # 24 points → tight start
+        cfg.opt.densify_grad_threshold_coarse = 1e-7
+        gt, cams = make_gt_scene()
+        rng = np.random.default_rng(1)
+        pts = np.asarray(gt["means3d"]) + rng.normal(0, 0.05, (24, 3))
+        state = G.create_from_pcd(
+            jax.random.key(0), cfg, pts.astype(np.float32),
+            np.full((24, 3), 0.5, np.float32), 1.0,
+        )
+        assert state.params["xyz"].shape[0] == 32
+        opt_state = adam.init(state.params)
+        state, opt_state, log = scene_reconstruction(
+            cfg, state, opt_state, cams, "coarse", 130,
+            cameras_extent=3.0, log_interval=30,
+        )
+        cap = state.params["xyz"].shape[0]
+        assert cap > 32, "capacity never grew"
+        assert cap <= cfg.tpu.capacity
+        # grown arrays stay consistent across params/stats/moments
+        assert state.alive.shape[0] == cap
+        assert opt_state.mu["xyz"].shape[0] == cap
+        assert int(G.count_alive(state)) > 24
+        assert np.isfinite(log.iterations[-1]["loss"])
+
+
+class TestCapacityGrowthOp:
+    def test_grow_capacity_preserves_values(self):
+        cfg = tiny_cfg(capacity=128)
+        cfg.tpu.capacity_init = 64
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1, 1, (40, 3)).astype(np.float32)
+        state = G.create_from_pcd(
+            jax.random.key(0), cfg, pts, np.full((40, 3), 0.5, np.float32),
+            1.0,
+        )
+        opt_state = adam.init(state.params)
+        state2, opt2 = G.grow_capacity(state, opt_state, 128)
+        assert state2.params["xyz"].shape[0] == 128
+        np.testing.assert_array_equal(
+            np.asarray(state2.params["xyz"][:64]),
+            np.asarray(state.params["xyz"]),
+        )
+        assert int(G.count_alive(state2)) == 40
+        # dead-slot fills are inert
+        assert float(state2.params["opacity"][64:].max()) == -15.0
+        assert float(state2.params["rotation"][64:, 0].min()) == 1.0
+        assert not bool(np.asarray(state2.alive[64:]).any())
+        assert opt2.mu["f_rest"].shape[0] == 128
+        # no-op when target ≤ current
+        state3, _ = G.grow_capacity(state2, opt2, 64)
+        assert state3.params["xyz"].shape[0] == 128
+
 
 class TestFineTraining:
     @pytest.mark.slow

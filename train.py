@@ -51,6 +51,11 @@ def main(argv=None):
     parser.add_argument("--mesh", type=str, default=None,
                         help="train on a device mesh, e.g. 'data=2,model=4' "
                              "(model = tile-row slabs; must divide tile rows)")
+    parser.add_argument("--shard_primitives", action="store_true",
+                        help="[P]-sharded fallback: params + Adam moments "
+                             "sharded over the 'model' axis with a per-step "
+                             "all-gather (for capacities whose replicated "
+                             "state would not fit one chip's HBM)")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: call jax.distributed.initialize() "
                              "before building the mesh (TPU pods autodiscover;"
@@ -98,6 +103,8 @@ def main(argv=None):
         json.dump(config_to_dict(cfg), f, indent=1, default=str)
 
     mesh = None
+    if args.shard_primitives:
+        cfg.tpu.shard_primitives = True
     if args.mesh:
         from fourdgs_tpu.parallel import multihost
         from fourdgs_tpu.parallel.mesh import parse_mesh_arg
@@ -258,7 +265,7 @@ def main(argv=None):
     aux_kwargs = dict(
         mesh=mesh, debug_mode=args.debug_mode, viewer=viewer,
         model_path=model_path, source_path=args.source_path,
-        gradient_tracker=tracker,
+        gradient_tracker=tracker, event_log=ev,
     )
     try:
         if start_stage == "coarse":
