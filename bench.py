@@ -42,9 +42,10 @@ def build_workload(height=800, width=800, n_points=60_000, capacity=65_536,
     # dnerf-shaped config (arguments/dnerf/dnerf_default.py: net_width 64,
     # defor_depth 1 default, multires [1,2], no_do/no_dshs True)
     cfg.tpu.capacity = capacity
-    # tight elliptical culling (ops/preprocess.py) leaves ~274k true
-    # instances at init (~370k after the warm-up steps drift the scene);
-    # the compact payload needs no padding headroom beyond that
+    # tight elliptical culling (ops/preprocess.py) leaves ~243k true
+    # instances at init; training against the GT drifts demand to ~393k
+    # over the measured steps (scales grow while the random cloud shrinks
+    # onto the scene), so the budget stays at 384k (overflow asserted)
     cfg.tpu.instance_budget = 384 * 1024
     cfg.tpu.tile_budget = 2048
     cfg.tpu.blend_chunk = 256

@@ -100,10 +100,11 @@ def main(argv=None):
         xyz, scales, rot, opacity, shs = get_state_at_time(
             state.params, state, cfg, time
         )
+        n_pts = shs.shape[0]
         params_t = {
             "xyz": xyz,
-            "f_dc": shs[:, :1, :],
-            "f_rest": shs[:, 1:, :],
+            "f_dc": shs[:, 0, :],
+            "f_rest": shs[:, 1:, :].reshape(n_pts, -1),
             "scaling": scales,
             "rotation": rot,
             "opacity": opacity,

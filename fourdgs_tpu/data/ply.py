@@ -140,8 +140,8 @@ def save_gaussian_ply(path: str, params: dict, alive: np.ndarray):
     """
     alive = np.asarray(alive)
     xyz = np.asarray(params["xyz"])[alive]
-    f_dc = np.asarray(params["f_dc"])[alive]      # [N,1,3]
-    f_rest = np.asarray(params["f_rest"])[alive]  # [N,K-1,3]
+    f_dc = np.asarray(params["f_dc"])[alive]      # [N,3] (rank-2 storage)
+    f_rest = np.asarray(params["f_rest"])[alive]  # [N,3(K-1)] coeff-major
     opacity = np.asarray(params["opacity"])[alive]
     scaling = np.asarray(params["scaling"])[alive]
     rotation = np.asarray(params["rotation"])[alive]
@@ -154,10 +154,9 @@ def save_gaussian_ply(path: str, params: dict, alive: np.ndarray):
         fields[k] = np.zeros(n, np.float32)
     # torch layout: features transposed to [N, 3, K] then flattened
     # (save_ply, gaussian_model.py:256-257)
-    dc_t = f_dc.transpose(0, 2, 1).reshape(n, -1)
-    for i in range(dc_t.shape[1]):
-        fields[f"f_dc_{i}"] = dc_t[:, i]
-    rest_t = f_rest.transpose(0, 2, 1).reshape(n, -1)
+    for i in range(f_dc.shape[1]):
+        fields[f"f_dc_{i}"] = f_dc[:, i]
+    rest_t = f_rest.reshape(n, -1, 3).transpose(0, 2, 1).reshape(n, -1)
     for i in range(rest_t.shape[1]):
         fields[f"f_rest_{i}"] = rest_t[:, i]
     fields["opacity"] = opacity[:, 0]
@@ -178,13 +177,15 @@ def load_gaussian_ply(path: str) -> dict[str, np.ndarray]:
     xyz = np.stack([v["x"], v["y"], v["z"]], axis=-1)
     n_dc = sum(1 for k in v if k.startswith("f_dc_"))
     n_rest = sum(1 for k in v if k.startswith("f_rest_"))
-    dc = np.stack([v[f"f_dc_{i}"] for i in range(n_dc)], axis=-1)
-    f_dc = dc.reshape(n, 3, n_dc // 3).transpose(0, 2, 1)
+    f_dc = np.stack([v[f"f_dc_{i}"] for i in range(n_dc)], axis=-1)
     if n_rest:
         rest = np.stack([v[f"f_rest_{i}"] for i in range(n_rest)], axis=-1)
-        f_rest = rest.reshape(n, 3, n_rest // 3).transpose(0, 2, 1)
+        # ply channel-major [N,3,K-1] → stored coeff-major [N,3(K-1)]
+        f_rest = rest.reshape(n, 3, n_rest // 3).transpose(0, 2, 1).reshape(
+            n, -1
+        )
     else:
-        f_rest = np.zeros((n, 0, 3), np.float32)
+        f_rest = np.zeros((n, 0), np.float32)
     n_scale = sum(1 for k in v if k.startswith("scale_"))
     n_rot = sum(1 for k in v if k.startswith("rot_"))
     return {

@@ -86,11 +86,17 @@ def create_from_pcd(
         pad = [(0, cap - N)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, pad, constant_values=fill)
 
-    f_dc = sh_lib.rgb_to_sh(jnp.asarray(colors, jnp.float32))[:, None, :]
+    # SH features stored RANK-2 ([P,3] and [P,3(K−1)] coeff-major): XLA TPU
+    # pads the minor two dims of every HBM buffer to (8,128) tiles, so the
+    # naive [P,1,3]/[P,15,3] shapes physically occupy 8×128- and 16×128-
+    # padded rows — 268 MB + 537 MB at P=65k for 12 MB of data, and every
+    # optimizer/boundary pass pays that traffic (measured ~4 ms of the
+    # train step). Rank-2 rows pad to one 128-lane tile (33 MB).
+    f_dc = sh_lib.rgb_to_sh(jnp.asarray(colors, jnp.float32))
     params: dict[str, Any] = {
         "xyz": padded(pts),
         "f_dc": padded(f_dc),
-        "f_rest": jnp.zeros((cap, K - 1, 3), jnp.float32),
+        "f_rest": jnp.zeros((cap, 3 * (K - 1)), jnp.float32),
         "scaling": padded(log_scales, fill=-10.0),
         "rotation": padded(
             jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]]), (N, 1)), fill=0.0
@@ -146,7 +152,12 @@ def get_opacity(params) -> jnp.ndarray:
 
 
 def get_features(params) -> jnp.ndarray:
-    return jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+    """[P, K, 3] SH coefficients from the rank-2 stored features."""
+    P = params["f_dc"].shape[0]
+    return jnp.concatenate(
+        [params["f_dc"][:, None, :], params["f_rest"].reshape(P, -1, 3)],
+        axis=1,
+    )
 
 
 def grow_capacity(

@@ -7,9 +7,13 @@ TPU-native replacement for the CUDA forward/backward render kernels
   payload** ``feat [16, K]`` (attribute-major) in HBM. Tile t owns instances
   [start_t, stop_t) with **no alignment padding** — the payload, and with it
   every per-instance XLA op (sort, gather, gradient scatter), is sized by the
-  true instance demand, not a chunk-padded layout. The kernels instead DMA
-  CHUNK-aligned *windows* [⌊start/CHUNK⌋·CHUNK, stop) and mask the out-of-range
-  lanes, trading a few masked lanes per tile for a ~1.5× smaller payload.
+  true instance demand, not a chunk-padded layout. For the kernels it is
+  re-laid out into CHUNK-sized blocks ([K/CHUNK+1, 16, CHUNK],
+  :func:`to_blocked`); each tile's windows start at ⌊start/ALIGN⌋·ALIGN
+  (ALIGN=8): a chunk DMAs its covering block *pair* and extracts the
+  contiguous [16, CHUNK] window with a dynamic lane roll. 128-aligned
+  windows wasted ~½ chunk of masked lanes per tile (measured 4098 → 3173
+  processed chunks on the bench scene); 8-alignment leaves ≤7.
 - **MXU prefix scans.** The CUDA kernel's serial per-pixel transmittance
   recurrence (forward.cu:340-360) is an associative scan. Instead of a
   Hillis-Steele roll chain (log₂·CHUNK VPU passes over [256, CHUNK]), both
@@ -31,11 +35,13 @@ TPU-native replacement for the CUDA forward/backward render kernels
   early exit, recovering per-instance suffix sums via ONE combined scalar
   per pixel (S_comb = Σ_q S_q·g_q — the four per-channel suffix sums of
   backward.cu:442-522 collapse because the cotangents are per-pixel
-  constants), and accumulates per-instance gradients into a [16, K] buffer.
-  A boundary chunk shared by two consecutive tiles is **carried in VMEM**
-  across the tile switch and every chunk is written exactly once — the
-  deterministic, race-free replacement for CUDA's atomicAdd
-  (backward.cu:523-554). Untouched chunks keep the zero-initialised
+  constants), and accumulates per-instance gradients into a blocked
+  [K/CHUNK+1, 16, CHUNK] buffer through TWO rolling VMEM accumulators
+  covering blocks [CURB, CURB+2): each window's grads split across them by
+  a dynamic roll, and a block is flushed exactly once when every window
+  over it has passed (window starts are monotone across the sequential
+  grid) — the deterministic, race-free replacement for CUDA's atomicAdd
+  (backward.cu:523-554). Untouched blocks keep the zero-initialised
   (input/output aliased) buffer; per-Gaussian reduction is a plain XLA
   scatter-add outside the kernel.
 
@@ -48,6 +54,7 @@ transmittance. Gradient feat rows mirror the payload layout.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,9 +68,18 @@ FEAT_ROWS = 16  # 10 attrs + 6 pad rows (Mosaic DMA slices need
 # sublane-aligned row counts: 8 for f32, 16 for bf16 payloads)
 OUT_COLS = 8  # layout of the NumPy kernel simulations in tests
 OUT5 = 5      # packed kernel output columns: r, g, b, depth, t_fin
-CHUNK = 128  # instances per chunk == DMA window alignment (lane-dim multiple)
+# instances per chunk == DMA window alignment (lane-dim multiple).
+# Env-overridable for perf experiments (bigger chunks amortize loop/DMA
+# overhead but grow the per-instance triangular-scan matmul linearly).
+CHUNK = int(os.environ.get("FOURDGS_BLEND_CHUNK", "128"))
 
-_HI = jax.lax.Precision.HIGHEST
+# Matmul passes for the in-kernel scans: HIGHEST = bf16x6 (f32-exact for
+# these magnitudes), HIGH = bf16x3 (~f32 ulp for the well-conditioned
+# log-transmittance sums, half the MXU passes). Default HIGHEST.
+_HI = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+}[os.environ.get("FOURDGS_BLEND_PRECISION", "highest").lower()]
 
 
 def _tri_excl():
@@ -137,10 +153,59 @@ def _transmittance(alpha, T_v, tri_x):
     return t_excl, t_incl, one_minus
 
 
+ALIGN = 8  # window alignment in instances (sublane granularity of the
+# blocked payload): per-tile windows start at ⌊start/8⌋·8 instead of
+# ⌊start/128⌋·128 — measured 4098 → 3173 processed chunks on the bench
+# scene (mean tile range 97.4), i.e. −23% blend work vs 128-aligned
+# windows, at the cost of a 2-block DMA + dynamic-roll extraction per chunk.
+
+
+def to_blocked(feat: jnp.ndarray) -> jnp.ndarray:
+    """[FEAT_ROWS, K] attribute-major → [K/CHUNK + 1, FEAT_ROWS, CHUNK]
+    blocked layout (+1 zero slack block so any 8-aligned 128-wide window
+    [off, off+128), off ≤ K−8, falls inside a legal block pair)."""
+    rows, K = feat.shape
+    nb = K // CHUNK
+    blk = feat.reshape(rows, nb, CHUNK).transpose(1, 0, 2)
+    return jnp.concatenate(
+        [blk, jnp.zeros((1, rows, CHUNK), feat.dtype)], axis=0
+    )
+
+
+def from_blocked(blk: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`to_blocked` (drops the slack block)."""
+    nb1, rows, c = blk.shape
+    return blk[:nb1 - 1].transpose(1, 0, 2).reshape(rows, (nb1 - 1) * c)
+
+
+def _extract_window(pair, s):
+    """[2, FEAT_ROWS, CHUNK] block pair → the contiguous f32
+    [FEAT_ROWS, CHUNK] window starting s lanes into block 0
+    (s ∈ [0, CHUNK], traced).
+
+    dest lane d = source lane (d+s) mod CHUNK of block (d < CHUNK−s ? 0 : 1):
+    one dynamic roll per block + a lane select. The upcast happens BEFORE
+    the roll: Mosaic's tpu.dynamic_rotate handles 32-bit data only (the
+    bf16-payload DMA savings are upstream of this, in HBM→VMEM traffic).
+    """
+    pair = pair.astype(jnp.float32)
+    t = (CHUNK - s) % CHUNK
+    r0 = pltpu.roll(pair[0], t, axis=1)
+    r1 = pltpu.roll(pair[1], t, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, r0.shape, 1)
+    return jnp.where(lane < CHUNK - s, r0, r1)
+
+
 def make_forward(grid_x: int, num_tiles: int, k_pad: int,
                  interpret: bool = False, feat_dtype=jnp.float32):
-    """Forward pallas_call: (starts, stops, row, bg, feat) →
+    """Forward pallas_call: (starts, stops, row, bg, feat_blk) →
     packed [T, 256, 5] = (r, g, b, depth, t_fin), bg composited in-kernel.
+
+    ``feat_blk`` is the blocked payload [k_pad/CHUNK + 1, FEAT_ROWS, CHUNK]
+    (:func:`to_blocked`). Per-tile windows are ALIGN(=8)-aligned: each chunk
+    DMAs the covering block pair and extracts the contiguous window with a
+    dynamic roll — the misalignment waste of 128-aligned windows (~2 chunks
+    per ~97-instance tile) drops to ≤7 masked lanes per tile.
 
     Everything rides ONE output block: per-tile pipeline cost on this
     grid is ~0.35 µs per *block* regardless of block width (measured
@@ -152,7 +217,6 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
 
     ``feat_dtype`` may be bfloat16: payload DMA/gather bytes halve; all
     in-kernel math stays float32 (upcast after load)."""
-    max_off = k_pad - CHUNK
 
     def kernel(starts_ref, stops_ref, row_ref, bg_ref, feat_ref,
                out_ref, buf, sems, slot_ref):
@@ -160,26 +224,26 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
         start = starts_ref[t]
         stop = stops_ref[t]
 
-        def chunk_of(v):
-            return jnp.minimum((v // CHUNK) * CHUNK, max_off)
+        def win_of(v):
+            return (v // ALIGN) * ALIGN
 
         def dma(off, slot):
             return pltpu.make_async_copy(
-                feat_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+                feat_ref.at[pl.ds(off // CHUNK, 2)],
                 buf.at[slot], sems.at[slot],
             )
 
         # DMA-ring invariant: entering tile t, buf[slot_ref] has one DMA in
-        # flight targeting this tile's first window chunk (for empty tiles
-        # start==stop==start_{t+1}, so the invariant carries through).
+        # flight targeting this tile's first window's block pair (for empty
+        # tiles start==stop==start_{t+1}, so the invariant carries through).
         @pl.when(t == 0)
         def _():
             slot_ref[0] = 0
-            dma(chunk_of(start), 0).start()
+            dma(win_of(start), 0).start()
 
-        nxt_first = chunk_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
+        nxt_first = win_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
         pxf, pyf = _pixel_coords(t, grid_x, row_ref[0])
-        off0 = chunk_of(start)
+        off0 = win_of(start)
         n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
         tri_x = _tri_excl()
 
@@ -189,17 +253,14 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
 
         def body(carry):
             c, slot, T_v, cols = carry
-            off = pl.multiple_of(off0 + c * CHUNK, CHUNK)
+            off = off0 + c * CHUNK
             nslot = 1 - slot
             # prefetch the next window chunk — or, past the tile boundary,
             # the next tile's first chunk — while blending this one
-            noff = jnp.where(
-                c + 1 < n_chunks, jnp.minimum(off + CHUNK, max_off),
-                nxt_first,
-            )
+            noff = jnp.where(c + 1 < n_chunks, off + CHUNK, nxt_first)
             dma(noff, nslot).start()
             dma(off, slot).wait()
-            cur = buf[slot].astype(jnp.float32)
+            cur = _extract_window(buf[slot], off % CHUNK)
             alpha, _, _, _, _, _ = _chunk_alpha(
                 cur, pxf, pyf, off, start, stop
             )
@@ -252,7 +313,7 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_ROWS, CHUNK), feat_dtype),
+            pltpu.VMEM((2, 2, FEAT_ROWS, CHUNK), feat_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
         ],
@@ -284,14 +345,21 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
       dL/dpower = α_raw · dL/dα  (uncapped, as the CUDA backward)
       dL/dop    = exp(power)·dL/dα;  conic/mean grads via dpower.
 
-    Gradient chunks are written exactly once: the chunk straddling two
-    consecutive tiles' ranges stays in a VMEM accumulator across the tile
-    switch (SMEM-carried ring), so no read-modify-write of HBM is needed.
+    Windows are ALIGN(=8)-aligned like the forward's; gradient blocks are
+    written exactly once: TWO rolling VMEM accumulators cover the blocked
+    dfeat's blocks [CURB, CURB+2) — each chunk's grads split across them by
+    a dynamic roll — and a block is flushed to HBM when every window over
+    it has been processed (window starts are monotone non-decreasing across
+    the sequential grid: start_{t+1} = stop_t ⇒ ⌊start_{t+1}/8⌋·8 ≥ the
+    previous tile's last window start). This replaces CUDA's atomicAdd
+    accumulation (backward.cu:523-554) race-free and deterministically.
+    Untouched blocks keep the zero-initialised (input/output aliased)
+    buffer.
     """
-    max_off = k_pad - CHUNK
 
-    # SMEM state indices
-    RSLOT, DSLOT, DOFF, WP0, WP1 = 0, 1, 2, 3, 4
+    # SMEM state indices: read-ring slot, lowest unflushed block, parity
+    # (acc[PAR] covers CURB, acc[1-PAR] covers CURB+1), write-pending flags
+    RSLOT, CURB, PAR, WP0, WP1 = 0, 1, 2, 3, 4
 
     def kernel(starts_ref, stops_ref, row_ref, bg_ref, feat_ref,
                outsv_ref, gout_ref,
@@ -301,34 +369,53 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
         start = starts_ref[t]
         stop = stops_ref[t]
 
-        def chunk_of(v):
-            return jnp.minimum((v // CHUNK) * CHUNK, max_off)
+        def win_of(v):
+            return (v // ALIGN) * ALIGN
 
         def dma(off, slot):
             return pltpu.make_async_copy(
-                feat_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+                feat_ref.at[pl.ds(off // CHUNK, 2)],
                 buf.at[slot], rsems.at[slot],
             )
 
-        def wdma(slot, off):
+        def wdma(slot, block):
             return pltpu.make_async_copy(
                 dbuf.at[slot],
-                dfeat_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+                dfeat_ref.at[block],
                 wsems.at[slot],
             )
+
+        def ensure_usable(q):
+            """Wait + zero a flushed accumulator slot before reuse."""
+            @pl.when(st[WP0 + q] == 1)
+            def _():
+                wdma(q, jnp.int32(0)).wait()
+                dbuf[q] = jnp.zeros((FEAT_ROWS, CHUNK), jnp.float32)
+                st[WP0 + q] = 0
+
+        def flush(q, block):
+            """Flush slot q to dfeat block (skip if stale: already
+            flushed and never reused — the block then keeps its aliased
+            zeros)."""
+            @pl.when(st[WP0 + q] == 0)
+            def _():
+                wdma(q, block).start()
+                st[WP0 + q] = 1
 
         @pl.when(t == 0)
         def _():
             st[RSLOT] = 0
-            st[DSLOT] = 0
-            st[DOFF] = -1
+            st[CURB] = win_of(start) // CHUNK
+            st[PAR] = 0
             st[WP0] = 0
             st[WP1] = 0
-            dma(chunk_of(start), 0).start()
+            dbuf[0] = jnp.zeros((FEAT_ROWS, CHUNK), jnp.float32)
+            dbuf[1] = jnp.zeros((FEAT_ROWS, CHUNK), jnp.float32)
+            dma(win_of(start), 0).start()
 
-        nxt_first = chunk_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
+        nxt_first = win_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
         pxf, pyf = _pixel_coords(t, grid_x, row_ref[0])
-        off0 = chunk_of(start)
+        off0 = win_of(start)
         n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
         tri_x = _tri_excl()
 
@@ -357,15 +444,12 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 
         def body(carry):
             c, slot, T_v, a_comb = carry
-            off = pl.multiple_of(off0 + c * CHUNK, CHUNK)
+            off = off0 + c * CHUNK
             nslot = 1 - slot
-            noff = jnp.where(
-                c + 1 < n_chunks, jnp.minimum(off + CHUNK, max_off),
-                nxt_first,
-            )
+            noff = jnp.where(c + 1 < n_chunks, off + CHUNK, nxt_first)
             dma(noff, nslot).start()
             dma(off, slot).wait()
-            cur = buf[slot].astype(jnp.float32)
+            cur = _extract_window(buf[slot], off % CHUNK)
             alpha, alpha_raw, exp_power, keep, dx, dy = _chunk_alpha(
                 cur, pxf, pyf, off, start, stop
             )
@@ -411,31 +495,38 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
                 [d_x, d_y, d_a, d_b, d_c, d_op, d_r, d_g, d_b2, d_z,
                  zero, zero, zero, zero, zero, zero], axis=0)
 
-            # gradient-chunk carry: switch accumulators when the window
-            # advances; each chunk is flushed to HBM exactly once
-            @pl.when(st[DOFF] != off)
+            # rolling dual-accumulator flush: acc[PAR] covers block CURB,
+            # acc[1-PAR] covers CURB+1. Window starts are monotone
+            # non-decreasing across the sequential grid, so once the window
+            # moves past a block every contribution to it is in — flush it
+            # exactly once. A jump of ≥2 blocks flushes both live blocks;
+            # the skipped blocks received nothing and keep aliased zeros.
+            bp = off // CHUNK
+
+            @pl.when(bp == st[CURB] + 1)
             def _():
-                ds_old = st[DSLOT]
+                flush(st[PAR], st[CURB])
+                st[PAR] = 1 - st[PAR]
+                st[CURB] = bp
 
-                @pl.when(st[DOFF] >= 0)
-                def _():
-                    wdma(ds_old, st[DOFF]).start()
-                    st[WP0 + ds_old] = 1
-                    st[DSLOT] = 1 - ds_old
+            @pl.when(bp > st[CURB] + 1)
+            def _():
+                flush(st[PAR], st[CURB])
+                flush(1 - st[PAR], st[CURB] + 1)
+                st[CURB] = bp
 
-                ds_new = st[DSLOT]
-
-                @pl.when(st[WP0 + ds_new] == 1)
-                def _():
-                    wdma(ds_new, jnp.int32(0)).wait()
-                    st[WP0 + ds_new] = 0
-
-                dbuf[st[DSLOT]] = jnp.zeros(
-                    (FEAT_ROWS, CHUNK), jnp.float32
-                )
-                st[DOFF] = off
-
-            dbuf[st[DSLOT]] = dbuf[st[DSLOT]] + grads
+            p = st[PAR]
+            q = 1 - p
+            ensure_usable(p)
+            ensure_usable(q)
+            # split the window grads across the two covered blocks:
+            # dest lane d of block bp gets window position d−s (d ≥ s);
+            # dest lane d of block bp+1 gets position d+CHUNK−s (d < s)
+            s_lane = off % CHUNK
+            rolled = pltpu.roll(grads, s_lane, axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 1)
+            dbuf[p] = dbuf[p] + jnp.where(lane >= s_lane, rolled, 0.0)
+            dbuf[q] = dbuf[q] + jnp.where(lane < s_lane, rolled, 0.0)
 
             T_new = jnp.min(
                 jnp.where(contrib, t_incl, T_v), axis=1, keepdims=True
@@ -456,10 +547,10 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 
         @pl.when(t == num_tiles - 1)
         def _():
-            @pl.when(st[DOFF] >= 0)
-            def _():
-                wdma(st[DSLOT], st[DOFF]).start()
-                st[WP0 + st[DSLOT]] = 1
+            # flush both live accumulators (stale slots skip: their block
+            # keeps the aliased zeros), then drain all DMA
+            flush(st[PAR], st[CURB])
+            flush(1 - st[PAR], st[CURB] + 1)
 
             @pl.when(st[WP0] == 1)
             def _():
@@ -471,6 +562,7 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 
             dma(jnp.int32(0), st[RSLOT]).wait()   # drain the read ring
 
+    nb1 = k_pad // CHUNK + 1
     blk = lambda ch: pl.BlockSpec(
         (1, N_PIX, ch), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
     )
@@ -478,14 +570,14 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
         num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # feat
+            pl.BlockSpec(memory_space=pltpu.ANY),   # feat (blocked)
             blk(OUT5),                              # saved packed outputs
             blk(OUT5),                              # packed cotangents
             pl.BlockSpec(memory_space=pltpu.ANY),   # dfeat zeros (aliased)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dfeat [16, K]
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dfeat (blocked)
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_ROWS, CHUNK), feat_dtype),
+            pltpu.VMEM((2, 2, FEAT_ROWS, CHUNK), feat_dtype),
             pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -495,15 +587,17 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((FEAT_ROWS, k_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (nb1, FEAT_ROWS, CHUNK), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             dimension_semantics=("arbitrary",),  # sequential grid: the
-            # carried boundary-chunk accumulation relies on tile order
+            # rolling block-accumulator flush relies on tile order
         ),
         # operand order: 4 prefetch scalars, feat, outsv, gout, dzeros → the
         # zeros buffer (index 7) aliases the dfeat output so untouched
-        # chunks stay zero
+        # blocks stay zero
         input_output_aliases={7: 0},
         interpret=interpret,
     )
@@ -517,30 +611,37 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 def blend_pallas(feat, starts, stops, row_off, bg, grid_x: int,
                  num_tiles: int, k_pad: int, interpret: bool = False):
     """feat [16,K], starts/stops [T], row_off [1], bg [3] →
-    packed out [T, 256, 5] = (r, g, b, depth, t_fin), bg composited."""
+    packed out [T, 256, 5] = (r, g, b, depth, t_fin), bg composited.
+
+    The payload is re-laid out to the blocked [K/CHUNK+1, 16, CHUNK] form
+    the kernels consume (:func:`to_blocked`); inside a jitted step XLA
+    fuses the relayout into the gather producing ``feat``."""
+    feat_blk = to_blocked(feat)
     return make_forward(grid_x, num_tiles, k_pad, interpret, feat.dtype)(
-        starts, stops, row_off, bg, feat
+        starts, stops, row_off, bg, feat_blk
     )
 
 
 def _blend_fwd(feat, starts, stops, row_off, bg, grid_x, num_tiles, k_pad,
                interpret=False):
+    feat_blk = to_blocked(feat)
     out = make_forward(grid_x, num_tiles, k_pad, interpret, feat.dtype)(
-        starts, stops, row_off, bg, feat
+        starts, stops, row_off, bg, feat_blk
     )
-    return out, (feat, starts, stops, row_off, bg, out)
+    return out, (feat_blk, starts, stops, row_off, bg, out)
 
 
 def _blend_bwd(grid_x, num_tiles, k_pad, interpret, res, g_out):
     import numpy as np
 
-    feat, starts, stops, row_off, bg, out = res
-    dzero = jnp.zeros((FEAT_ROWS, k_pad), jnp.float32)
-    dfeat = make_backward(grid_x, num_tiles, k_pad, interpret, feat.dtype)(
-        starts, stops, row_off, bg, feat, out, g_out, dzero
-    )
+    feat_blk, starts, stops, row_off, bg, out = res
+    nb1 = k_pad // CHUNK + 1
+    dzero = jnp.zeros((nb1, FEAT_ROWS, CHUNK), jnp.float32)
+    dfeat_blk = make_backward(
+        grid_x, num_tiles, k_pad, interpret, feat_blk.dtype
+    )(starts, stops, row_off, bg, feat_blk, out, g_out, dzero)
     # cotangent dtype must match the primal (bf16 payload mode)
-    dfeat = dfeat.astype(feat.dtype)
+    dfeat = from_blocked(dfeat_blk).astype(feat_blk.dtype)
     # integer operands carry symbolic-zero float0 cotangents
     zero_of = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     # true bg cotangent: out_q = C_q + T_fin·bg_q per pixel, so

@@ -82,8 +82,8 @@ class TestGradientTracker:
     def _stats(self, scale=1.0):
         g = {
             "xyz": jnp.ones((8, 3)) * scale,
-            "f_dc": jnp.ones((8, 1, 3)),
-            "f_rest": jnp.ones((8, 0, 3)),
+            "f_dc": jnp.ones((8, 3)),
+            "f_rest": jnp.ones((8, 0)),
             "opacity": jnp.ones((8, 1)),
             "scaling": jnp.ones((8, 3)),
             "rotation": jnp.ones((8, 4)),
@@ -253,7 +253,7 @@ class TestGrow:
 class TestSimplifiedRGB:
     @pytest.mark.slow
     def test_sh_degree_zero_end_to_end(self):
-        # Instant4D simplified RGB: sh_degree=0 → f_rest is [P,0,3]
+        # Instant4D simplified RGB: sh_degree=0 → f_rest is [P,0]
         from tests.test_training import make_gt_scene, tiny_cfg
 
         cfg = tiny_cfg()
@@ -265,7 +265,7 @@ class TestSimplifiedRGB:
             np.asarray(gt["means3d"]),
             np.full((16, 3), 0.5, np.float32), 1.0,
         )
-        assert state.params["f_rest"].shape == (256, 0, 3)
+        assert state.params["f_rest"].shape == (256, 0)
         from fourdgs_tpu.train import adam
         from fourdgs_tpu.train.loop import scene_reconstruction
 

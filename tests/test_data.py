@@ -54,7 +54,7 @@ class TestPly:
         ply_lib.save_gaussian_ply(p, state.params, np.asarray(state.alive))
         back = ply_lib.load_gaussian_ply(p)
         assert back["xyz"].shape == (16, 3)
-        assert back["f_rest"].shape == (16, 15, 3)
+        assert back["f_rest"].shape == (16, 45)
         np.testing.assert_allclose(
             back["xyz"], np.asarray(state.params["xyz"])[:16], atol=1e-6
         )

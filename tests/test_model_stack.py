@@ -247,7 +247,7 @@ class TestGaussianState:
         cfg, state = small_state()
         assert int(G.count_alive(state)) == 32
         assert state.params["xyz"].shape == (64, 3)
-        assert state.params["f_rest"].shape == (64, 15, 3)
+        assert state.params["f_rest"].shape == (64, 45)
         # initial opacity sigmoid(logit) == 0.1
         op = np.asarray(G.get_opacity(state.params))[:32]
         np.testing.assert_allclose(op, 0.1, atol=1e-6)

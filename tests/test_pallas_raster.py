@@ -60,11 +60,15 @@ def run_tiled(p, cam, sh_degree=3, bg=None, budget=8192):
 
 def kernel_sim_forward(feat, starts, stops, grid_x, num_tiles):
     """Independent NumPy float32 simulation of the forward blend kernel's
-    specified algorithm (window-aligned chunks, log-space exclusive prefix
-    scan of transmittance, masked-min T carry). Faithful to the Pallas spec
-    up to scan association (np.cumsum vs MXU triangular matmul, ~1e-7).
+    specified algorithm (ALIGN-aligned window chunks, log-space exclusive
+    prefix scan of transmittance, masked-min T carry). Faithful to the
+    Pallas spec up to scan association (np.cumsum vs MXU triangular matmul,
+    ~1e-7).
     """
     CH = PB.CHUNK
+    feat = np.concatenate(
+        [feat, np.zeros((feat.shape[0], CH), feat.dtype)], axis=1
+    )  # the kernel's slack block: windows may run past K
 
     out = np.zeros((num_tiles, PB.N_PIX, PB.OUT_COLS), np.float32)
     for t in range(num_tiles):
@@ -72,7 +76,7 @@ def kernel_sim_forward(feat, starts, stops, grid_x, num_tiles):
         px = (tx * 16 + np.arange(256) % 16).astype(np.float32)[:, None]
         py = (ty * 16 + np.arange(256) // 16).astype(np.float32)[:, None]
         start, stop = int(starts[t]), int(stops[t])
-        off0 = (start // CH) * CH
+        off0 = (start // PB.ALIGN) * PB.ALIGN
         n_chunks = 0 if stop <= start else -(-(stop - off0) // CH)
         Tv = np.ones((256, 1), np.float32)
         col = np.zeros((256, 4), np.float32)
@@ -261,14 +265,17 @@ def kernel_sim_backward(feat, starts, stops, gout, grid_x, num_tiles):
     shared between consecutive tiles accumulated in VMEM)."""
     CH = PB.CHUNK
     K = feat.shape[1]
-    dfeat = np.zeros((PB.FEAT_ROWS, K), np.float32)
+    dfeat = np.zeros((PB.FEAT_ROWS, K + CH), np.float32)
     fwd = kernel_sim_forward(feat, starts, stops, grid_x, num_tiles)
+    feat = np.concatenate(
+        [feat, np.zeros((feat.shape[0], CH), feat.dtype)], axis=1
+    )  # slack block (windows may run past K)
     for t in range(num_tiles):
         tx, ty = t % grid_x, t // grid_x
         px = (tx * 16 + np.arange(256) % 16).astype(np.float32)[:, None]
         py = (ty * 16 + np.arange(256) // 16).astype(np.float32)[:, None]
         start, stop = int(starts[t]), int(stops[t])
-        off0 = (start // CH) * CH
+        off0 = (start // PB.ALIGN) * PB.ALIGN
         n_chunks = 0 if stop <= start else -(-(stop - off0) // CH)
         Tv = np.ones((256, 1), np.float32)
         a_comb = np.zeros((256, 1), np.float32)
@@ -322,7 +329,7 @@ def kernel_sim_backward(feat, starts, stops, gout, grid_x, num_tiles):
             a_comb = pw[:, -1:]
             Tv = np.where(contrib, t_incl, Tv).min(1, keepdims=True
                                                    ).astype(np.float32)
-    return dfeat
+    return dfeat[:, :K]
 
 
 class TestKernelBackwardLogic:
