@@ -170,7 +170,7 @@ _MASK_CELLS = 32  # rect cells representable in the per-Gaussian cull bitmask
 
 
 def _rect_cull_mask(tile_min, tile_max, tiles_touched, means2d, lam_min,
-                    cull_c, tile_row_offset):
+                    cull_c, tile_row_offset, tile_row_stride=1):
     """Per-Gaussian bitmask of rect cells that survive the ellipse-vs-tile
     test, and the resulting exact tiles_touched.
 
@@ -197,6 +197,7 @@ def _rect_cull_mask(tile_min, tile_max, tiles_touched, means2d, lam_min,
     lam = jax.lax.stop_gradient(lam_min)
     cc = jax.lax.stop_gradient(cull_c)
     row_off = jnp.asarray(tile_row_offset, jnp.int32)
+    row_stride = jnp.int32(tile_row_stride)
 
     mask = jnp.zeros(area.shape, jnp.uint32)
     for j in range(_MASK_CELLS):
@@ -205,7 +206,8 @@ def _rect_cull_mask(tile_min, tile_max, tiles_touched, means2d, lam_min,
         tx = tile_min[:, 0] + jx
         ty = tile_min[:, 1] + jy
         px0 = (tx * _C.TILE_X).astype(jnp.float32) - 1.0
-        py0 = ((ty + row_off) * _C.TILE_Y).astype(jnp.float32) - 1.0
+        py0 = ((ty * row_stride + row_off) * _C.TILE_Y).astype(
+            jnp.float32) - 1.0
         dx = mx - jnp.clip(mx, px0, px0 + (_C.TILE_X + 1.0))
         dy = my - jnp.clip(my, py0, py0 + (_C.TILE_Y + 1.0))
         live = (j < area) & ~(0.5 * lam * (dx * dx + dy * dy) > cc)
@@ -229,6 +231,7 @@ def bin_gaussians_fast(
     lam_min: jnp.ndarray | None = None,   # [P] conic min eigenvalue
     cull_c: jnp.ndarray | None = None,    # [P] ln(255·op)
     tile_row_offset=0,
+    tile_row_stride: int = 1,
 ) -> BinningOut:
     """Single-key binning: pre-sort Gaussians by depth, then stable-sort
     instances by tile id only.
@@ -260,7 +263,7 @@ def bin_gaussians_fast(
     if do_cull:
         cmask, cbig, tiles_touched = _rect_cull_mask(
             tile_min, tile_max, tiles_touched, means2d, lam_min, cull_c,
-            tile_row_offset,
+            tile_row_offset, tile_row_stride,
         )
 
     depths = jax.lax.stop_gradient(depths)

@@ -90,15 +90,16 @@ def _tri_excl():
     return (i < j).astype(jnp.float32)
 
 
-def _pixel_coords(t, grid_x, row_offset=0):
+def _pixel_coords(t, grid_x, row_offset=0, row_stride=1):
     """Pixel-center coordinates of tile t: ([256,1], [256,1]) floats.
 
-    ``row_offset`` shifts the tile row — used by the tile-row-sharded
-    multi-chip path where each device rasterizes a horizontal slab of the
-    image but tile indices are slab-local (fourdgs_tpu.parallel.trainer).
+    ``row_offset``/``row_stride`` map the slab-local tile row j to the
+    global row offset + j*stride — the tile-row-sharded multi-chip path
+    (stride == n_shards is the load-balanced interleaved assignment,
+    fourdgs_tpu.parallel.trainer).
     """
     tx = t % grid_x
-    ty = t // grid_x + row_offset
+    ty = (t // grid_x) * row_stride + row_offset
     sub = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
     pxf = (tx * C.TILE_X + sub % C.TILE_X).astype(jnp.float32)
     pyf = (ty * C.TILE_Y + sub // C.TILE_X).astype(jnp.float32)
@@ -242,7 +243,7 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
             dma(win_of(start), 0).start()
 
         nxt_first = win_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
-        pxf, pyf = _pixel_coords(t, grid_x, row_ref[0])
+        pxf, pyf = _pixel_coords(t, grid_x, row_ref[0], row_ref[1])
         off0 = win_of(start)
         n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
         tri_x = _tri_excl()
@@ -414,7 +415,7 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
             dma(win_of(start), 0).start()
 
         nxt_first = win_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
-        pxf, pyf = _pixel_coords(t, grid_x, row_ref[0])
+        pxf, pyf = _pixel_coords(t, grid_x, row_ref[0], row_ref[1])
         off0 = win_of(start)
         n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
         tri_x = _tri_excl()
@@ -610,7 +611,8 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def blend_pallas(feat, starts, stops, row_off, bg, grid_x: int,
                  num_tiles: int, k_pad: int, interpret: bool = False):
-    """feat [16,K], starts/stops [T], row_off [1], bg [3] →
+    """feat [16,K], starts/stops [T], row_off [2] = (offset, stride),
+    bg [3] →
     packed out [T, 256, 5] = (r, g, b, depth, t_fin), bg composited.
 
     The payload is re-laid out to the blocked [K/CHUNK+1, 16, CHUNK] form

@@ -32,6 +32,7 @@ behavior when jax.process_count() == 1, so the same trainer code serves
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -156,7 +157,13 @@ def host_local_batch(mesh: Mesh, local_cams, local_gts, spec_gts=None):
         ),
         local_cams,
     )
-    gts = jax.make_array_from_process_local_data(
-        gt_sharding, np.asarray(local_gts)
+    # interleaved tile-row assignment (trainer.interleave_gt_rows): the
+    # model axis is host-local in the hybrid mesh, so the permutation is
+    # process-local too
+    local_gts = np.asarray(
+        trainer.interleave_gt_rows(
+            jnp.asarray(local_gts), mesh.shape["model"]
+        )
     )
+    gts = jax.make_array_from_process_local_data(gt_sharding, local_gts)
     return cams, gts

@@ -86,11 +86,55 @@ def batch_specs(mesh: Mesh, cams, gts):
     return cam_spec, P("data", None, "model", None)
 
 
+def interleave_gt_rows(gts, n_model: int):
+    """Reorder a [B, C, H, W] GT so the contiguous H-split over 'model'
+    hands shard s the INTERLEAVED tile rows {s, s+N, ...}.
+
+    Tile-row assignment is interleaved for load balance (instance demand is
+    strongly center-skewed: the middle 1/2-slab of the bench scene holds
+    76% of the duplicated instances, so contiguous slabs run the sharded
+    step at the slowest shard's ~62% efficiency while interleaved rows are
+    balanced by construction). Shard-local tile row j = global row
+    s + j·N; this permutation makes gts[..., s*slab_h + j*16 + p, :] the
+    pixels of global tile row s + j·N.
+    """
+    if n_model == 1:
+        return gts
+    B, Cc, H, W = gts.shape
+    ty = C.TILE_Y
+    grid_y = -(-H // ty)
+    if grid_y % n_model != 0 or H % ty != 0:
+        # shapes the sharded step would reject anyway (its own check
+        # raises); leave the batch untouched here
+        return gts
+    rows_per = grid_y // n_model
+    g = gts.reshape(B, Cc, rows_per, n_model, ty, W)
+    # (j, s) → destination (s, j)
+    return g.transpose(0, 1, 3, 2, 4, 5).reshape(B, Cc, H, W)
+
+
+def deinterleave_rows(img, n_model: int):
+    """Inverse of :func:`interleave_gt_rows` on a [..., H, W] image whose H
+    is the shard-major concatenation of interleaved tile rows (the
+    all-gathered color in the SSIM path)."""
+    if n_model == 1:
+        return img
+    *lead, H, W = img.shape
+    ty = C.TILE_Y
+    grid_y = H // ty
+    rows_per = grid_y // n_model
+    g = img.reshape(*lead, n_model, rows_per, ty, W)
+    perm = list(range(len(lead))) + [len(lead) + 1, len(lead),
+                                     len(lead) + 2, len(lead) + 3]
+    return g.transpose(perm).reshape(*lead, H, W)
+
+
 def place_batch(mesh: Mesh, cams, gts):
     cam_spec, gt_spec = batch_specs(mesh, cams, gts)
     cams = jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), cams
     )
+    gts = interleave_gt_rows(gts, mesh.shape["model"])
     gts = jax.device_put(gts, NamedSharding(mesh, gt_spec))
     return cams, gts
 
@@ -223,6 +267,7 @@ def make_sharded_train_step(
             interpret=interpret,
             tile_row_offset=row_offset,
             tile_rows=rows_per,
+            tile_row_stride=n_sp,
             payload_dtype=(jnp.bfloat16 if cfg.tpu.payload_bf16
                            else jnp.float32),
             ellipse_tile_cull=cfg.tpu.ellipse_tile_cull,
@@ -241,7 +286,9 @@ def make_sharded_train_step(
                       if key in PRIM_KEYS else val)
                 for key, val in params.items()
             }
-        row_offset = jax.lax.axis_index("model") * rows_per
+        # interleaved tile-row assignment: this shard owns global rows
+        # {axis_index + j·n_sp} (see interleave_gt_rows for why)
+        row_offset = jax.lax.axis_index("model")
         B_local = gts.shape[0]
         B_total = B_local * n_data
         colors = []
@@ -277,10 +324,17 @@ def make_sharded_train_step(
         # per-camera squared error (for PSNR): [B_local]
         sq = jnp.sum((colors - gts) ** 2, axis=(1, 2, 3))
         if cfg.opt.lambda_dssim != 0:
-            # 11×11 SSIM windows straddle slab boundaries: gather the rows
-            # (all_gather transpose routes grads back to the owning slab)
-            full_c = jax.lax.all_gather(colors, "model", axis=2, tiled=True)
-            full_g = jax.lax.all_gather(gts, "model", axis=2, tiled=True)
+            # 11×11 SSIM windows straddle row boundaries: gather the rows
+            # (all_gather transpose routes grads back to the owning shard)
+            # and undo the interleaved row order before the window conv
+            full_c = deinterleave_rows(
+                jax.lax.all_gather(colors, "model", axis=2, tiled=True),
+                n_sp,
+            )
+            full_g = deinterleave_rows(
+                jax.lax.all_gather(gts, "model", axis=2, tiled=True),
+                n_sp,
+            )
             ssim_term = (1.0 - losses.ssim(
                 full_c[:, :, :height], full_g[:, :, :height]
             ))

@@ -50,7 +50,7 @@ def main():
     feat[5] = rng.uniform(0.3, 0.9, K)
     feat[6:10] = rng.uniform(0, 1, (4, K))
     jfeat = jnp.asarray(feat)
-    row = jnp.asarray([0], np.int32)
+    row = jnp.asarray([0, 1], np.int32)
     bg = jnp.zeros(3)
 
     def run(starts, stops, label):

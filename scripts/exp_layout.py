@@ -128,7 +128,8 @@ def main():
     rots = params["rotation"]
     rots = rots / jnp.linalg.norm(rots, axis=-1, keepdims=True)
     opac = jax.nn.sigmoid(params["opacity"]).reshape(-1)
-    shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+    from fourdgs_tpu.models import gaussians as _G
+    shs = _G.get_features(params)
     pre = jax.jit(lambda: preprocess(
         means3d, scales, rots, shs, cam0.camera_center, cam0.world_view,
         cam0.full_proj, float(cam0.tanfovx), float(cam0.tanfovy),

@@ -73,20 +73,24 @@ def measure_slabs():
     rots = params["rotation"]
     rots = rots / jnp.linalg.norm(rots, axis=-1, keepdims=True)
     opac = jax.nn.sigmoid(params["opacity"])
-    shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+    from fourdgs_tpu.models import gaussians as _G
+    shs = _G.get_features(params)
     bg = jnp.zeros(3)
 
     results = []
     for n_model in (1, 2, 4, 8):
-        rows = -(-grid_y // n_model)       # slab height (first shard)
-        # per-shard budget as a mesh run would configure it: measured
-        # demand of the worst slab × 1.4 headroom, 64k-aligned
-        def render_slab(m, s, r, o, sh, budget, rows=rows):
+        rows = -(-grid_y // n_model)       # tile rows per shard
+        # the PRODUCTION assignment: interleaved rows {s + j·N} — balanced
+        # by construction against the strong center-of-image demand skew
+        # (a contiguous middle slab holds 76% of this scene's instances).
+        # shard 0 measured; by balance every shard is within a few % of it.
+        def render_slab(m, s, r, o, sh, budget, rows=rows, stride=n_model):
             return rasterize_pallas(
                 m, s, r, o, sh, cam0.camera_center, cam0.world_view,
                 cam0.full_proj, float(cam0.tanfovx), float(cam0.tanfovy),
                 W, H, 3, bg, instance_budget=budget,
-                tile_row_offset=0, tile_rows=rows, tile_space=True,
+                tile_row_offset=0, tile_rows=rows, tile_row_stride=stride,
+                tile_space=True,
             )
 
         probe = jax.jit(lambda m, s, r, o, sh: render_slab(
@@ -101,11 +105,13 @@ def measure_slabs():
         f = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
         ms = timeit(f, means3d, scales, rots, opac, shs)
         results.append({
-            "n_model": n_model, "tile_rows": rows, "demand": demand,
+            "n_model": n_model, "tile_rows": rows, "row_stride": n_model,
+            "demand": demand,
             "budget": budget, "render_fwd_bwd_ms": round(ms, 3),
         })
-        print(f"model={n_model}: rows={rows} demand={demand} "
-              f"budget={budget} render fwd+bwd {ms:.2f} ms")
+        print(f"model={n_model}: rows={rows} stride={n_model} "
+              f"demand={demand} budget={budget} "
+              f"render fwd+bwd {ms:.2f} ms")
 
     # shared per-device costs that do NOT shrink with the model axis:
     # preprocess is inside the render timing already; Adam+deform measured
@@ -172,7 +178,7 @@ def main():
         "VERDICT r3 #4: multi-chip hardware is not available in this",
         "environment; this is the honest bound we CAN measure. Method: the",
         "sharded trainer's per-device work is `render fwd+bwd over 1/N of",
-        "the tile rows` (production `tile_rows`/`tile_row_offset` slab path",
+        "the tile rows` (the production interleaved tile_rows/stride path",
         "of `ops/rasterize.py`, per-shard instance budget as a mesh run",
         "would set it) plus per-device work that does not shrink with N",
         f"(Adam, deformation, loss glue: measured {rest_ms:.2f} ms as",
@@ -183,7 +189,7 @@ def main():
         "All numbers below measured on the real v5e chip at HEAD",
         "(bench workload: 800×800, 65k Gaussians, fine stage).",
         "",
-        "| model axis N | slab rows | slab demand | per-shard budget |"
+        "| model axis N | rows/shard | shard demand | per-shard budget |"
         " render fwd+bwd (ms) | +fixed +comm (ms) | est. speedup |"
         " est. efficiency |",
         "|---|---|---|---|---|---|---|---|",
@@ -204,11 +210,16 @@ def main():
         "  (make_hybrid_mesh places it innermost for exactly this reason);",
         "  DCN ('data' axis) carries only scalar metrics psums + the",
         "  param-grad reduce across hosts, once per step.",
-        "- Per-shard instance demand is the FIRST slab's (worst ≈ middle",
-        "  slabs); budgets rounded to 64k. The per-(Gaussian,slab) rect",
-        "  clip means total instance work grows slightly with N (a",
-        "  Gaussian straddling a slab boundary bins on both shards) —",
-        "  visible in the demand column.",
+        "- Per-shard time under SPMD is the SLOWEST shard's. The trainer",
+        "  assigns tile rows INTERLEAVED (shard s owns rows s, s+N, ...),",
+        "  which balances the strong center-of-image demand skew (the",
+        "  contiguous middle 1/2-slab of this scene holds 76% of",
+        "  instances and would cap contiguous-slab efficiency at ~62%).",
+        "  Shard 0 is measured; by balance every shard is within a few",
+        "  percent. Budgets rounded to 64k. Row interleaving makes each",
+        "  Gaussian bin on ~min(rect_h, N) shards, so total instance work",
+        "  grows with N — visible in the demand column; this is the",
+        "  dominant efficiency cost at large N.",
         "- Preprocess runs over the FULL primitive set on every shard",
         "  (replicated layout) — it is inside the slab render timing, and",
         "  is the main reason efficiency falls below 1 at large N.",

@@ -68,7 +68,8 @@ def main():
     rots = params["rotation"]
     rots = rots / jnp.linalg.norm(rots, axis=-1, keepdims=True)
     opac = jax.nn.sigmoid(params["opacity"]).reshape(-1)
-    shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+    from fourdgs_tpu.models import gaussians as _G
+    shs = _G.get_features(params)
 
     pre_f = jax.jit(lambda m, s, r, sh, o: preprocess(
         m, s, r, sh, cam0.camera_center, cam0.world_view, cam0.full_proj,
@@ -102,7 +103,7 @@ def main():
     print(f"payload gather:       {timeit(gather_j, bins.gauss_id):8.2f} ms")
     feat = gather_j(bins.gauss_id)
 
-    row_off = jnp.asarray([0], jnp.int32)
+    row_off = jnp.asarray([0, 1], jnp.int32)
     bg0 = jnp.zeros(3)
     fwd = jax.jit(lambda f, s, e: PB.blend_pallas(f, s, e, row_off, bg0,
                                                   gx, T, K))

@@ -231,7 +231,7 @@ class TestKernelLogic:
         feat, starts, stops = _bin_scene(p, cam, w, h, K, (4, 4))
         out5 = np.asarray(PB.blend_pallas(
             jnp.asarray(feat), jnp.asarray(starts), jnp.asarray(stops),
-            jnp.asarray([0], np.int32), jnp.zeros(3), 4, 16, K, True))
+            jnp.asarray([0, 1], np.int32), jnp.zeros(3), 4, 16, K, True))
         sim = kernel_sim_forward(feat, starts, stops, 4, 16)
         np.testing.assert_allclose(out5, sim[:, :, 0:5], atol=1e-5)
 
@@ -252,7 +252,7 @@ class TestKernelLogic:
         feat[6:10] = rng.uniform(0, 1, (4, K))
         out5 = np.asarray(PB.blend_pallas(
             jnp.asarray(feat), jnp.asarray(starts), jnp.asarray(stops),
-            jnp.asarray([0], np.int32), jnp.zeros(3), gx, T, K, True))
+            jnp.asarray([0, 1], np.int32), jnp.zeros(3), gx, T, K, True))
         sim = kernel_sim_forward(feat, starts, stops, gx, T)
         np.testing.assert_allclose(out5, sim[:, :, 0:5], atol=1e-5)
 
@@ -355,7 +355,7 @@ class TestKernelBackwardLogic:
         jfeat = jnp.asarray(feat)
         jstarts = jnp.asarray(starts)
         jstops = jnp.asarray(stops)
-        row = jnp.asarray([0], np.int32)
+        row = jnp.asarray([0, 1], np.int32)
 
         out, vjp = jax.vjp(
             lambda f: PB.blend_pallas(f, jstarts, jstops, row, jnp.zeros(3),
