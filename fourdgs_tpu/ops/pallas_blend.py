@@ -73,12 +73,13 @@ OUT5 = 5      # packed kernel output columns: r, g, b, depth, t_fin
 # overhead but grow the per-instance triangular-scan matmul linearly).
 CHUNK = int(os.environ.get("FOURDGS_BLEND_CHUNK", "128"))
 
-# Matmul passes for the in-kernel scans: HIGHEST = bf16x6 (f32-exact for
-# these magnitudes), HIGH = bf16x3 (~f32 ulp for the well-conditioned
-# log-transmittance sums, half the MXU passes). Default HIGHEST.
+# Matmul precision for the in-kernel scans. Mosaic supports only DEFAULT
+# (bf16 single pass — too lossy for the log-transmittance sums) and
+# HIGHEST (bf16x6, ~f32-exact) inside kernels; HIGH raises
+# NotImplementedError at lowering. Keep HIGHEST.
 _HI = {
     "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
 }[os.environ.get("FOURDGS_BLEND_PRECISION", "highest").lower()]
 
 
@@ -301,16 +302,21 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
         bg_row = jnp.stack(
             [bg_ref[0], bg_ref[1], bg_ref[2]]
         ).reshape(1, 3)
-        out_ref[0] = jnp.concatenate(
+        # CHANNEL-MAJOR packed output [OUT5, 256]: a [256, 5] minor dim
+        # would pad to 128 lanes in HBM (25× physical inflation across the
+        # output buffer, the backward's saved/cotangent reads, and the
+        # whole loss chain — measured ~2.5 ms/step); [5, 256] pads only
+        # 5→8 sublanes. One in-kernel transpose per tile.
+        out_ref[0] = jnp.transpose(jnp.concatenate(
             [cols[:, 0:3] + T_fin * bg_row, cols[:, 3:4], T_fin], axis=1
-        )
+        ))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, N_PIX, OUT5), lambda t, *_: (t, 0, 0),
+            (1, OUT5, N_PIX), lambda t, *_: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -323,7 +329,7 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (num_tiles, N_PIX, OUT5), jnp.float32
+            (num_tiles, OUT5, N_PIX), jnp.float32
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential grid: the DMA
@@ -420,22 +426,26 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
         n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
         tri_x = _tri_excl()
 
-        t_fin = outsv_ref[0, :, 4:5]
-        g_r = gout_ref[0, :, 0:1]
-        g_g = gout_ref[0, :, 1:2]
-        g_b = gout_ref[0, :, 2:3]
-        g_d = gout_ref[0, :, 3:4]
+        # the saved output / cotangent blocks are channel-major [OUT5, 256];
+        # transpose once to the [256, c] orientation the per-pixel math uses
+        sv = jnp.transpose(outsv_ref[0])    # [256, OUT5]
+        go = jnp.transpose(gout_ref[0])     # [256, OUT5]
+        t_fin = sv[:, 4:5]
+        g_r = go[:, 0:1]
+        g_g = go[:, 1:2]
+        g_b = go[:, 2:3]
+        g_d = go[:, 3:4]
         # the saved color has the background composited in (C + T_fin·bg):
         # recover the pre-background totals for the suffix-sum math, and
         # fold the composite's dT path (dL/dT += Σ_q bg_q·g_q) into g_T
-        g_T = (gout_ref[0, :, 4:5]
+        g_T = (go[:, 4:5]
                + bg_ref[0] * g_r + bg_ref[1] * g_g + bg_ref[2] * g_b)
         # combined total: Σ_q C_tot,q·g_q  [256, 1]
         ctot_comb = (
-            (outsv_ref[0, :, 0:1] - t_fin * bg_ref[0]) * g_r
-            + (outsv_ref[0, :, 1:2] - t_fin * bg_ref[1]) * g_g
-            + (outsv_ref[0, :, 2:3] - t_fin * bg_ref[2]) * g_b
-            + outsv_ref[0, :, 3:4] * g_d
+            (sv[:, 0:1] - t_fin * bg_ref[0]) * g_r
+            + (sv[:, 1:2] - t_fin * bg_ref[1]) * g_g
+            + (sv[:, 2:3] - t_fin * bg_ref[2]) * g_b
+            + sv[:, 3:4] * g_d
         )
         gT_term = t_fin * g_T
 
@@ -565,7 +575,7 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 
     nb1 = k_pad // CHUNK + 1
     blk = lambda ch: pl.BlockSpec(
-        (1, N_PIX, ch), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        (1, ch, N_PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -613,7 +623,8 @@ def blend_pallas(feat, starts, stops, row_off, bg, grid_x: int,
                  num_tiles: int, k_pad: int, interpret: bool = False):
     """feat [16,K], starts/stops [T], row_off [2] = (offset, stride),
     bg [3] →
-    packed out [T, 256, 5] = (r, g, b, depth, t_fin), bg composited.
+    packed out [T, 5, 256] = (r, g, b, depth, t_fin) channel-major,
+    bg composited.
 
     The payload is re-laid out to the blocked [K/CHUNK+1, 16, CHUNK] form
     the kernels consume (:func:`to_blocked`); inside a jitted step XLA
@@ -650,7 +661,7 @@ def _blend_bwd(grid_x, num_tiles, k_pad, interpret, res, g_out):
     # dL/dbg_q = Σ_{tiles,pixels} T_fin · g_out_q  (cheap — both factors are
     # already materialized; advisor r3 flagged the previous silent zero)
     dbg = jnp.einsum(
-        "tp,tpq->q", out[:, :, 4], g_out[:, :, 0:3]
+        "tp,tqp->q", out[:, 4], g_out[:, 0:3]
     ).astype(bg.dtype)
     return (dfeat, zero_of(starts), zero_of(stops), zero_of(row_off), dbg)
 

@@ -170,31 +170,34 @@ def rasterize_pallas(
         jnp.asarray([tile_row_offset, tile_row_stride], jnp.int32),
         bg.astype(jnp.float32),
         grid_x, T, K, interpret,
-    )  # packed [T,256,5] = (r, g, b, depth, t_fin), bg composited in-kernel
+    )  # packed channel-major [T,5,256] = (r,g,b,depth,t_fin), bg composited
 
     if tile_space:
-        # PACKED tile-space contract: color carries the full [T, 256, 5]
-        # block (r, g, b, depth, t_fin). The training loss consumes it
-        # directly (column-masked against a 5-wide tiled GT) so no
-        # slice/pad pair ever materializes around the custom VJP. depth and
-        # alpha are sliced views — DCE'd unless actually used.
+        # PACKED tile-space contract: color carries the full CHANNEL-MAJOR
+        # [T, 5, 256] block (r, g, b, depth, t_fin) — lanes hold pixels, so
+        # the block is dense in HBM (a [T,256,5] layout pads 5 → 128 lanes:
+        # 25× physical inflation through the whole loss chain). The
+        # training loss consumes it directly (channel-masked against a
+        # 5-wide tiled GT) so no slice/pad pair ever materializes around
+        # the custom VJP. depth and alpha are sliced views — DCE'd unless
+        # actually used.
         return TiledRasterOut(
             color=out5,
-            depth=out5[:, :, 3:4],
-            alpha=1.0 - out5[:, :, 4:5],
+            depth=out5[:, 3:4, :],
+            alpha=1.0 - out5[:, 4:5, :],
             radii=pre.radii,
             means2d=pre.means2d,
             num_rendered=bins.num_rendered,
             max_tile_len=jnp.max(tile_len).astype(jnp.int32),
         )
 
-    col = out5[:, :, 0:3]
-    dep = out5[:, :, 3:4]
-    t_fin = out5[:, :, 4:5]
+    col = out5[:, 0:3, :]
+    dep = out5[:, 3:4, :]
+    t_fin = out5[:, 4:5, :]
 
-    def untile(x, ch):  # x [T, 256, ch] → [ch, H, W]
-        img = x.reshape(grid_y, grid_x, C.TILE_Y, C.TILE_X, ch)
-        img = img.transpose(4, 0, 2, 1, 3).reshape(
+    def untile(x, ch):  # x [T, ch, 256] → [ch, H, W]
+        img = x.reshape(grid_y, grid_x, ch, C.TILE_Y, C.TILE_X)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(
             ch, grid_y * C.TILE_Y, grid_x * C.TILE_X
         )
         return img[:, :height, :width]

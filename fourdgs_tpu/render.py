@@ -200,9 +200,10 @@ def render(
 
 def _pack_tiles(color, depth, alpha):
     """Image-space (color, depth, alpha) → the pallas backend's packed
-    tile-space contract: color = [T, 256, 5] (r, g, b, depth, t_fin)."""
+    channel-major tile-space contract: color = [T, 5, 256]
+    (r, g, b, depth, t_fin)."""
     from fourdgs_tpu.utils.losses import tile_image
 
     tc, td, ta = map(tile_image, (color, depth, alpha))
-    packed = jnp.concatenate([tc, td, 1.0 - ta], axis=-1)
+    packed = jnp.concatenate([tc, td, 1.0 - ta], axis=1)
     return packed, td, ta

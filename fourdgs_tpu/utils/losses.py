@@ -35,30 +35,36 @@ def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 def tile_image(img: jnp.ndarray, tile_x: int = 16,
                tile_y: int = 16, pad_cols: int = 0) -> jnp.ndarray:
-    """[C, H, W] image → [T, tile_y·tile_x, C+pad_cols] per-tile blocks.
+    """[C, H, W] image → [T, C+pad_cols, tile_y·tile_x] per-tile blocks.
 
-    The layout the Pallas rasterizer emits (row-major tiles, row-major
-    pixels within a tile — fourdgs_tpu.ops.pallas_blend). H/W are padded
-    up to tile multiples with zeros; combine with :func:`tile_pixel_mask`
-    to ignore the padding. ``pad_cols`` appends zero channels — the
-    training loss tiles the GT with pad_cols=2 so it subtracts against
-    the rasterizer's packed (r, g, b, depth, t_fin) block directly,
-    avoiding any slice/pad of the differentiable output.
+    CHANNEL-MAJOR tile layout, matching what the Pallas rasterizer emits
+    (row-major tiles, row-major pixels within a tile on the LANE dim —
+    fourdgs_tpu.ops.pallas_blend). Channel-major matters on TPU: a
+    [T, 256, 5] block pads its minor dim to 128 lanes in HBM (25×
+    physical inflation — measured 1.4 ms/step of pure padding traffic in
+    the loss chain), while [T, 5, 256] pads only 5→8 sublanes (1.6×).
+    H/W are padded up to tile multiples with zeros; combine with
+    :func:`tile_pixel_mask` to ignore the padding. ``pad_cols`` appends
+    zero channels — the training loss tiles the GT with pad_cols=2 so it
+    subtracts against the rasterizer's packed (r, g, b, depth, t_fin)
+    block directly, avoiding any slice/pad of the differentiable output.
     """
     c, h, w = img.shape
     gy = -(-h // tile_y)
     gx = -(-w // tile_x)
     img = jnp.pad(img, ((0, 0), (0, gy * tile_y - h), (0, gx * tile_x - w)))
     img = img.reshape(c, gy, tile_y, gx, tile_x)
-    out = img.transpose(1, 3, 2, 4, 0).reshape(gy * gx, tile_y * tile_x, c)
+    out = img.transpose(1, 3, 0, 2, 4).reshape(
+        gy * gx, c, tile_y * tile_x
+    )
     if pad_cols:
-        out = jnp.pad(out, ((0, 0), (0, 0), (0, pad_cols)))
+        out = jnp.pad(out, ((0, 0), (0, pad_cols), (0, 0)))
     return out
 
 
 def tile_pixel_mask(height: int, width: int, tile_x: int = 16,
                     tile_y: int = 16) -> jnp.ndarray:
-    """[T, tile_y·tile_x, 1] float mask: 1 for pixels inside H×W, 0 for the
+    """[T, 1, tile_y·tile_x] float mask: 1 for pixels inside H×W, 0 for the
     tile-grid padding. All-ones when H and W are tile multiples."""
     gy = -(-height // tile_y)
     gx = -(-width // tile_x)

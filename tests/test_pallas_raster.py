@@ -233,7 +233,9 @@ class TestKernelLogic:
             jnp.asarray(feat), jnp.asarray(starts), jnp.asarray(stops),
             jnp.asarray([0, 1], np.int32), jnp.zeros(3), 4, 16, K, True))
         sim = kernel_sim_forward(feat, starts, stops, 4, 16)
-        np.testing.assert_allclose(out5, sim[:, :, 0:5], atol=1e-5)
+        np.testing.assert_allclose(
+            out5.transpose(0, 2, 1), sim[:, :, 0:5], atol=1e-5
+        )
 
     def test_forward_matches_sim_boundary_straddle(self):
         # tile ranges deliberately straddling CHUNK windows
@@ -254,7 +256,9 @@ class TestKernelLogic:
             jnp.asarray(feat), jnp.asarray(starts), jnp.asarray(stops),
             jnp.asarray([0, 1], np.int32), jnp.zeros(3), gx, T, K, True))
         sim = kernel_sim_forward(feat, starts, stops, gx, T)
-        np.testing.assert_allclose(out5, sim[:, :, 0:5], atol=1e-5)
+        np.testing.assert_allclose(
+            out5.transpose(0, 2, 1), sim[:, :, 0:5], atol=1e-5
+        )
 
 
 def kernel_sim_backward(feat, starts, stops, gout, grid_x, num_tiles):
@@ -362,7 +366,9 @@ class TestKernelBackwardLogic:
                                       gx, T, K, True),
             jfeat,
         )
-        dfeat = np.asarray(vjp(jnp.asarray(gout[:, :, 0:5]))[0])
+        dfeat = np.asarray(
+            vjp(jnp.asarray(gout[:, :, 0:5].transpose(0, 2, 1)))[0]
+        )
         sim = kernel_sim_backward(feat, starts, stops, gout, gx, T)
         np.testing.assert_allclose(dfeat, sim, rtol=1e-4, atol=1e-4)
 
