@@ -120,6 +120,10 @@ def main():
     ap.add_argument("--n_train", type=int, default=100)
     ap.add_argument("--n_test", type=int, default=10)
     ap.add_argument("--out", default="BENCH_QUALITY.json")
+    ap.add_argument("--instant4d", action="store_true",
+                    help="fast-train ablation mode: isotropic Gaussians + "
+                         "simplified RGB (sh_degree=0), the reference's "
+                         "Instant4D configuration (README_INSTANT4D.txt)")
     args = ap.parse_args()
 
     import jax
@@ -148,6 +152,11 @@ def main():
     # start small; the loop doubles capacity/budget as densification grows
     # the scene (models.gaussians.grow_capacity + loop budget growth)
     cfg.tpu.instance_budget = 256 * 1024
+    if args.instant4d:
+        # Instant4D fast-train ablation (scene/__init__.py:103-141 hooks):
+        # isotropic Gaussians + DC-only color
+        cfg.model.use_isotropic_gaussian = True
+        cfg.model.sh_degree = 0
 
     size = args.size
     rng = np.random.default_rng(0)
@@ -250,6 +259,7 @@ def main():
     iters = cfg.opt.coarse_iterations + cfg.opt.iterations
     result = {
         "scene": "synthetic-bouncingballs",
+        "instant4d": bool(args.instant4d),
         "resolution": size,
         "schedule": {"coarse": cfg.opt.coarse_iterations,
                      "fine": cfg.opt.iterations},

@@ -78,6 +78,15 @@ class BinningOut(NamedTuple):
     tile_stop: jnp.ndarray    # [T] int32 one-past-last instance index
     num_rendered: jnp.ndarray # [] int32 true instance count (may exceed K!)
     valid: jnp.ndarray        # [K] bool instance is real (not padding/overflow)
+    # segment bookkeeping for the scatter-free gradient reduction
+    # (ops.rasterize._gathered_payload): pre-sort slot id per sorted
+    # instance, per-DEPTH-RANK slot segment starts/counts, and the
+    # depth-sort permutation (rank -> original gaussian). None in the
+    # reference bin_gaussians path.
+    slot: jnp.ndarray | None = None        # [K] int32
+    seg_starts: jnp.ndarray | None = None  # [P] int32 (depth-rank order)
+    seg_counts: jnp.ndarray | None = None  # [P] int32
+    order: jnp.ndarray | None = None       # [P] int32 rank -> gaussian
 
 
 def bin_gaussians(
@@ -331,8 +340,8 @@ def bin_gaussians_fast(
     # single-key sort on tile yields the CUDA (tile, depth) order; the sort
     # carries the gauss id so no post-sort gather is needed
     gid_slot = jnp.where(in_range, row[:, 4], 0)
-    tile_s, g_s = jax.lax.sort(
-        (tile, gid_slot), num_keys=1, is_stable=True
+    tile_s, g_s, slot_s = jax.lax.sort(
+        (tile, gid_slot, k), num_keys=1, is_stable=True
     )
 
     # ONE searchsorted over T+1 boundaries: start[t] = first slot with
@@ -348,4 +357,8 @@ def bin_gaussians_fast(
         tile_stop=bounds[1:],
         num_rendered=num_rendered.astype(jnp.int32),
         valid=tile_s < sentinel_tile,
+        slot=slot_s,
+        seg_starts=starts,
+        seg_counts=tt_s,
+        order=order,
     )

@@ -20,12 +20,114 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fourdgs_tpu.ops import constants as C
 from fourdgs_tpu.ops import pallas_blend as PB
 from fourdgs_tpu.ops.binning import bin_gaussians_fast
 from fourdgs_tpu.ops.preprocess import preprocess
 from fourdgs_tpu.ops.tiled import TiledRasterOut
+
+
+def _seg_sums_compensated(ordered, starts, counts):
+    """[K, C] rows in segment-contiguous order → [P, C] per-segment sums,
+    at f32-scatter-level accuracy, with NO scatter.
+
+    Within each 128-row block an inclusive prefix via an exact triangular
+    MXU matmul; across blocks a COMPENSATED (hi, lo TwoSum) running sum;
+    each segment's value is the difference of boundary prefixes taken
+    piecewise — (hi_r − hi_{r−1}) + (lo_r − lo_{r−1}) + (w_r − w_{r−1}) —
+    so the error carries only block-local magnitudes, not the global
+    running total (a plain f32 cumsum difference was measured at ~13× the
+    scatter's rounding noise; this form matches it within 1.5×).
+    """
+    K, Cc = ordered.shape
+    B = 128
+    nb = K // B
+    xt = ordered.T.reshape(Cc, nb, B).astype(jnp.float32)
+    i = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    tri = (i <= j).astype(jnp.float32)
+    hi_p = jax.lax.Precision.HIGHEST
+    within = jax.lax.dot_general(
+        xt, tri, (((2,), (0,)), ((), ())), precision=hi_p
+    )                                               # [C, nb, B]
+    tot = within[:, :, -1]                          # [C, nb]
+
+    def dd_add(a, b):                               # Knuth TwoSum carry
+        ah, al = a
+        bh, bl = b
+        s = ah + bh
+        v = s - ah
+        e = (ah - (s - v)) + (bh - v)
+        return s, al + bl + e
+
+    hi, lo = jax.lax.associative_scan(
+        dd_add, (tot, jnp.zeros_like(tot)), axis=1
+    )
+    z = jnp.zeros_like(hi[:, :1])
+    sh = jnp.concatenate([z, hi[:, :-1]], axis=1)   # exclusive block prefix
+    sl = jnp.concatenate([z, lo[:, :-1]], axis=1)
+
+    b = starts + counts - 1                         # last row per segment
+    bb = jnp.clip(b, 0, K - 1)
+    live = (b >= 0)[:, None]
+    cw = jnp.where(live, jnp.take(within.reshape(Cc, K).T, bb, axis=0), 0.0)
+    ch = jnp.where(live, jnp.take(sh.T, bb // B, axis=0), 0.0)
+    cl = jnp.where(live, jnp.take(sl.T, bb // B, axis=0), 0.0)
+    zrow = jnp.zeros((1, Cc), jnp.float32)
+    return ((ch - jnp.concatenate([zrow, ch[:-1]]))
+            + (cl - jnp.concatenate([zrow, cl[:-1]]))
+            + (cw - jnp.concatenate([zrow, cw[:-1]])))
+
+
+@jax.custom_vjp
+def _gathered_payload(table, gid, slot, seg_starts, seg_counts, order):
+    """feat [FEAT_ROWS, K] = table[gid].T with a SCATTER-FREE backward.
+
+    The plain autodiff of this gather is a K-row scatter-add with duplicate
+    indices into [P, FEAT_ROWS] — read-modify-write per random row,
+    measured 4.6 ms at K=384k on v5e (the most expensive XLA op of the
+    train step). This VJP exploits the binning structure instead: pre-sort
+    SLOTS are contiguous per depth-ranked Gaussian, so
+
+      d_table = permute(d_feat rows to slot order)   (one K-sort + gather)
+                → compensated blockwise segment sums (_seg_sums_compensated)
+                → un-permute depth rank → gaussian   (one P-sort + gather)
+
+    — every step a sort/gather/matmul/scan with known cost, no scatter.
+    """
+    return jnp.take(table, gid, axis=0).T
+
+
+def _gathered_payload_fwd(table, gid, slot, seg_starts, seg_counts, order):
+    out = _gathered_payload(table, gid, slot, seg_starts, seg_counts, order)
+    return out, (slot, seg_starts, seg_counts, order)
+
+
+def _gathered_payload_bwd(res, d_feat):
+    slot, seg_starts, seg_counts, order = res
+    K = slot.shape[0]
+    P = order.shape[0]
+    d_rows = d_feat.T.astype(jnp.float32)           # [K, FEAT_ROWS]
+    # position of slot s in the tile-sorted order: argsort of the
+    # (permutation) slot array — one K-sort instead of a scatter
+    _, pos = jax.lax.sort(
+        (slot, jnp.arange(K, dtype=jnp.int32)), num_keys=1
+    )
+    ordered = jnp.take(d_rows, pos, axis=0)         # slot-ordered rows
+    seg = _seg_sums_compensated(ordered, seg_starts, seg_counts)
+    # depth rank → original gaussian index (invert the order permutation)
+    _, inv_order = jax.lax.sort(
+        (order, jnp.arange(P, dtype=jnp.int32)), num_keys=1
+    )
+    d_table = jnp.take(seg, inv_order, axis=0).astype(d_feat.dtype)
+    zero_of = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (d_table, zero_of(slot), zero_of(slot), zero_of(seg_starts),
+            zero_of(seg_counts), zero_of(order))
+
+
+_gathered_payload.defvjp(_gathered_payload_fwd, _gathered_payload_bwd)
 
 
 def rasterize_pallas(
@@ -163,7 +265,10 @@ def rasterize_pallas(
         "(malformed shs/colors input?)"
     )
     table = table.astype(payload_dtype)  # optional bf16: halves gather+DMA
-    feat = jnp.take(table, bins.gauss_id, axis=0).T      # [16, K]
+    feat = _gathered_payload(
+        table, bins.gauss_id, bins.slot, bins.seg_starts,
+        bins.seg_counts, bins.order,
+    )                                                    # [16, K]
 
     out5 = PB.blend_pallas(
         feat, bins.tile_start, bins.tile_stop,
