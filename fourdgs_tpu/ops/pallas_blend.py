@@ -227,7 +227,10 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
         stop = stops_ref[t]
 
         def win_of(v):
-            return (v // ALIGN) * ALIGN
+            # Clamp so the block-pair DMA [off//CHUNK, off//CHUNK + 2) stays
+            # within the (nb+1)-block payload even when trailing empty tiles
+            # sit at tile_start == k_pad (instance-budget saturation).
+            return jnp.minimum((v // ALIGN) * ALIGN, k_pad - ALIGN)
 
         def dma(off, slot):
             return pltpu.make_async_copy(
@@ -377,7 +380,9 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
         stop = stops_ref[t]
 
         def win_of(v):
-            return (v // ALIGN) * ALIGN
+            # Same OOB clamp as make_forward: keep the prefetch block pair
+            # legal when trailing empty tiles start at k_pad.
+            return jnp.minimum((v // ALIGN) * ALIGN, k_pad - ALIGN)
 
         def dma(off, slot):
             return pltpu.make_async_copy(

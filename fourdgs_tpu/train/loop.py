@@ -62,10 +62,11 @@ def make_train_step(
         [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
     )
 
-    # The L1/PSNR part of the loss runs in TILE space ([T, 256, 3] blocks,
-    # the rasterizer's native output layout): the GT is tiled once per step
-    # outside the gradient, so the tile→image transpose and its backward
-    # re-tile drop out of the hot path (~3 ms/step at 800×800 on v5e).
+    # The L1/PSNR part of the loss runs in TILE space (channel-major
+    # [T, 5, 256] packed blocks, the rasterizer's native output layout): the
+    # GT is tiled once per step outside the gradient, so the tile→image
+    # transpose and its backward re-tile drop out of the hot path
+    # (~3 ms/step at 800×800 on v5e).
     # SSIM needs spatial layout, so λ_dssim ≠ 0 keeps the image path.
     tile_mode = cfg.opt.lambda_dssim == 0
     padded = (height % 16 != 0) or (width % 16 != 0)
@@ -599,8 +600,13 @@ def scene_reconstruction(
             # current [P]-array capacity, double it toward cfg.tpu.capacity
             # BEFORE densifying so clone/split always see free slots. A
             # host-side pad + shape-retrace; ≤ log2(capacity/init) per run.
+            # Gated on the same n_points < 360_000 condition as densify so
+            # the growth always runs inside the _prim_resharded(False)/(True)
+            # bracket (growth past the densify cap would be useless anyway
+            # and, under shard_primitives, would leave the params replicated).
             cur_cap = state.params["xyz"].shape[0]
-            if (densify_due and n_points > 0.6 * cur_cap
+            if (densify_due and n_points < 360_000
+                    and n_points > 0.6 * cur_cap
                     and cur_cap < cfg.tpu.capacity):
                 new_cap = min(cur_cap * 2, cfg.tpu.capacity)
                 state, adam_state = G.grow_capacity(
