@@ -83,6 +83,97 @@ _HI = {
 }[os.environ.get("FOURDGS_BLEND_PRECISION", "highest").lower()]
 
 
+# Prefix-scan implementation inside the kernels:
+#   "split2" (default): Dekker hi/lo bf16 split + two single-pass DEFAULT
+#     matmuls — 3× less MXU time than HIGHEST with ~16-bit mantissa scan
+#     accuracy (measured: +1.0 Mpx/s end-to-end; forward color error vs the
+#     exact-f32 sim ≤ ~2e-4 under heavy saturation, gradient parity vs the
+#     oracle stays within the 4e-3 test bar — the flagged accuracy trade).
+#   "matmul": f32 triangular [256,CH]×[CH,CH] MXU matmul at HIGHEST
+#     (bf16x6, ~f32-exact) — the strict-parity fallback.
+#   "roll": Hillis-Steele lane-roll chain on the VPU (measured 2.4 Mpx/s
+#     SLOWER on v5e — cross-lane permutes are expensive; kept for record).
+_SCAN = os.environ.get("FOURDGS_BLEND_SCAN", "split2").lower()
+# Cross-sublane reduction strategy in the backward kernel: "vpu" = ten
+# jnp.sum sublane reductions; "mxu" = two lane-major [8,256]×[256,CH]
+# moment/cotangent matmuls + per-lane fixups (lhs built lane-major so no
+# per-chunk relayout is needed).
+_REDUCE = os.environ.get("FOURDGS_BLEND_REDUCE", "vpu").lower()
+# Chunk-final transmittance: "lane" = masked 128-lane min reduction;
+# "mxu" = T_v·exp(Σ_contrib lg) via a tiny masked-log matmul (the contrib
+# lanes form a prefix, so the masked log-sum IS the frozen-T semantic).
+_TMIN = os.environ.get("FOURDGS_BLEND_TMIN", "lane").lower()
+
+
+def _t_new_mxu(lg, contrib, keep, T_v):
+    """T after this chunk via MXU: T_v·exp(Σ_{kept∧contrib} log(1−α)).
+
+    t_incl is monotone non-increasing along lanes, so contributing lanes
+    form a prefix and the masked log-sum equals log(t_incl) at the last
+    contributing lane — the value the lane-min otherwise extracts.
+    Masked lanes have lg == 0 already (α == 0); the extra ∧keep guard is
+    free. Single-pass bf16 hi/lo split like :func:`_scan_matmul`.
+    """
+    lg_m = jnp.where(contrib & keep, lg, 0.0)
+    ones = jnp.ones((CHUNK, 8), jnp.bfloat16)
+    hi = lg_m.astype(jnp.bfloat16)
+    lo = (lg_m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mm = lambda a: jax.lax.dot_general(
+        a, ones, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+    s = mm(hi) + mm(lo)
+    return T_v * jnp.exp(s[:, 0:1])
+
+
+def _scan_matmul(x, tri):
+    """x @ tri (the prefix-scan contraction) under the _SCAN strategy.
+
+    "matmul": f32 operands at HIGHEST — bf16x6, ~f32-exact, 6 MXU passes.
+    "split2": Dekker two-term split — hi = bf16(x), lo = bf16(x − hi) —
+    and TWO single-pass bf16 matmuls at DEFAULT. tri is exactly 0/1, so
+    products are exact and the f32 accumulator sees x to ~16 mantissa
+    bits: scan error ≤ |Σx|·2⁻¹⁶ (for the log-transmittance scan the live
+    range |Σlg| ≤ −ln(T_STOP) ≈ 9.2 bounds it at ~1.4e-4). 3× less MXU
+    time than HIGHEST on the kernels' dominant op.
+    """
+    if _SCAN == "split2":
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        tri_bf = tri.astype(jnp.bfloat16)
+        mm = lambda a: jax.lax.dot_general(
+            a, tri_bf, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        return mm(hi) + mm(lo)
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32,
+    )
+
+
+def _prefix_prod_incl_roll(x):
+    """Per-lane inclusive product scan via 7 static lane rolls (VPU)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < CHUNK:
+        x = x * jnp.where(lane >= k, pltpu.roll(x, k, axis=1), 1.0)
+        k *= 2
+    return x
+
+
+def _prefix_sum_incl_roll(x):
+    """Per-lane inclusive sum scan via 7 static lane rolls (VPU)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < CHUNK:
+        x = x + jnp.where(lane >= k, pltpu.roll(x, k, axis=1), 0.0)
+        k *= 2
+    return x
+
+
 def _tri_excl():
     """[CHUNK, CHUNK] strictly-upper-triangular ones: x @ tri = exclusive
     prefix sum of x along the lane axis (cum[i] = Σ_{j<i} x[j])."""
@@ -138,21 +229,27 @@ def _chunk_alpha(buf, pxf, pyf, off, start, stop):
 
 
 def _transmittance(alpha, T_v, tri_x):
-    """Per-lane exclusive/inclusive transmittance via MXU log-space scan.
+    """Per-lane exclusive/inclusive transmittance scan.
 
-    Masked lanes (α=0) contribute log(1)=0, leaving the scan unaffected.
+    "matmul": MXU log-space scan — masked lanes (α=0) contribute log(1)=0;
     α ≤ ALPHA_CAP=0.99 keeps log(1−α) ≥ log(0.01): well-conditioned.
+    "roll": direct multiplicative Hillis-Steele scan of (1−α) — masked
+    lanes contribute factor 1; no transcendentals, no MXU.
     Returns (t_excl, t_incl, one_minus).
     """
     one_minus = 1.0 - alpha
+    if _SCAN == "roll":
+        q = _prefix_prod_incl_roll(one_minus)
+        lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+        q_excl = jnp.where(lane >= 1, pltpu.roll(q, 1, axis=1), 1.0)
+        t_excl = T_v * q_excl
+        t_incl = t_excl * one_minus
+        return t_excl, t_incl, one_minus, None
     lg = jnp.log(one_minus)
-    cum_x = jax.lax.dot_general(
-        lg, tri_x, (((1,), (0,)), ((), ())),
-        precision=_HI, preferred_element_type=jnp.float32,
-    )
+    cum_x = _scan_matmul(lg, tri_x)
     t_excl = T_v * jnp.exp(cum_x)
     t_incl = t_excl * one_minus
-    return t_excl, t_incl, one_minus
+    return t_excl, t_incl, one_minus, lg
 
 
 ALIGN = 8  # window alignment in instances (sublane granularity of the
@@ -266,10 +363,10 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
             dma(noff, nslot).start()
             dma(off, slot).wait()
             cur = _extract_window(buf[slot], off % CHUNK)
-            alpha, _, _, _, _, _ = _chunk_alpha(
+            alpha, _, _, keep, _, _ = _chunk_alpha(
                 cur, pxf, pyf, off, start, stop
             )
-            t_excl, t_incl, _ = _transmittance(alpha, T_v, tri_x)
+            t_excl, t_incl, _, lg = _transmittance(alpha, T_v, tri_x)
             contrib = t_incl >= C.T_STOP
             w = jnp.where(contrib, alpha * t_excl, 0.0)
             # Σ_i w_i·(r,g,b,z)_i for all 256 pixels: one MXU matmul
@@ -277,11 +374,15 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
                 w, cur[6:10, :], (((1,), (1,)), ((), ())),
                 precision=_HI, preferred_element_type=jnp.float32,
             )
-            # t_incl is monotone non-increasing along lanes; the masked min
-            # is the transmittance after the last contributing instance
-            T_new = jnp.min(
-                jnp.where(contrib, t_incl, T_v), axis=1, keepdims=True
-            )
+            if _TMIN == "mxu" and lg is not None:
+                T_new = _t_new_mxu(lg, contrib, keep, T_v)
+            else:
+                # t_incl is monotone non-increasing along lanes; the masked
+                # min is the transmittance after the last contributing
+                # instance
+                T_new = jnp.min(
+                    jnp.where(contrib, t_incl, T_v), axis=1, keepdims=True
+                )
             return c + 1, nslot, T_new, cols
 
         init = (jnp.int32(0), slot_ref[0],
@@ -431,6 +532,13 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
         n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
         tri_x = _tri_excl()
 
+        # Tile-origin offsets for the LOCAL-coordinate moment basis (local
+        # coords keep the moment recombination cancellation-free:
+        # |dx| ≥ |x̃| − TILE_X, so never a small difference of large terms).
+        oxs = ((t % grid_x) * C.TILE_X).astype(jnp.float32)   # tile origin
+        oys = (((t // grid_x) * row_ref[1] + row_ref[0])
+               * C.TILE_Y).astype(jnp.float32)
+
         # the saved output / cotangent blocks are channel-major [OUT5, 256];
         # transpose once to the [256, c] orientation the per-pixel math uses
         sv = jnp.transpose(outsv_ref[0])    # [256, OUT5]
@@ -454,6 +562,31 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
         )
         gT_term = t_fin * g_T
 
+        # Per-tile constant LANE-MAJOR lhs operands [8, 256] for the two
+        # reduction matmuls that replace the per-chunk cross-sublane sums
+        # (backward.cu:523-554 accumulates the same 10 quantities via
+        # atomicAdd):
+        #   moments Σ_p c_p·dpower[p,l] for c ∈ {1, x, y, x², xy, y²}
+        #   (local pixel coords) recombine into d_a..d_y and d_op = A0/op;
+        #   cotangent rows Σ_p g_q[p]·w[p,l] give d_r..d_z directly.
+        # Lane-major lhs + sublane-contracted rhs is the MXU's native
+        # orientation — no per-chunk relayout.
+        rix = jax.lax.broadcasted_iota(jnp.int32, (8, N_PIX), 0)
+        lix = jax.lax.broadcasted_iota(jnp.int32, (8, N_PIX), 1)
+        lpx = (lix % C.TILE_X).astype(jnp.float32)
+        lpy = (lix // C.TILE_X).astype(jnp.float32)
+        mom_lhsT = (
+            jnp.where(rix == 0, 1.0, 0.0)
+            + jnp.where(rix == 1, lpx, 0.0)
+            + jnp.where(rix == 2, lpy, 0.0)
+            + jnp.where(rix == 3, lpx * lpx, 0.0)
+            + jnp.where(rix == 4, lpx * lpy, 0.0)
+            + jnp.where(rix == 5, lpy * lpy, 0.0)
+        )                                                       # [8, 256]
+        cot_lhsT = jnp.concatenate(
+            [gout_ref[0][0:4, :].astype(jnp.float32),
+             jnp.zeros((4, N_PIX), jnp.float32)], axis=0)       # [8, 256]
+
         def cond(carry):
             c, _, T_v, _ = carry
             return (c < n_chunks) & (jnp.max(T_v) >= C.T_STOP)
@@ -469,7 +602,9 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
             alpha, alpha_raw, exp_power, keep, dx, dy = _chunk_alpha(
                 cur, pxf, pyf, off, start, stop
             )
-            t_excl, t_incl, one_minus = _transmittance(alpha, T_v, tri_x)
+            t_excl, t_incl, one_minus, lg = _transmittance(
+                alpha, T_v, tri_x
+            )
             contrib = t_incl >= C.T_STOP
             w = jnp.where(contrib, alpha * t_excl, 0.0)   # [256, CH]
 
@@ -479,11 +614,11 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
             z = cur[9:10, :]
             combo = r * g_r + g * g_g + b * g_b + z * g_d   # [256, CH]
             s = w * combo
-            # inclusive prefix = exclusive + own term (reuse the tri matmul)
-            pw = jax.lax.dot_general(
-                s, tri_x, (((1,), (0,)), ((), ())),
-                precision=_HI, preferred_element_type=jnp.float32,
-            ) + s + a_comb
+            if _SCAN == "roll":
+                pw = _prefix_sum_incl_roll(s) + a_comb
+            else:
+                # inclusive prefix = exclusive + own term (reuse tri matmul)
+                pw = _scan_matmul(s, tri_x) + s + a_comb
             S = ctot_comb - pw            # combined suffix AFTER instance i
 
             inv_om = 1.0 / jnp.maximum(one_minus, 1e-6)
@@ -494,22 +629,62 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
             ca = cur[2:3, :]
             cb = cur[3:4, :]
             cc = cur[4:5, :]
-            d_op = jnp.sum(exp_power * dalpha_px, axis=0, keepdims=True)
-            d_a = jnp.sum(-0.5 * dx * dx * dpower_px, axis=0, keepdims=True)
-            d_b = jnp.sum(-dx * dy * dpower_px, axis=0, keepdims=True)
-            d_c = jnp.sum(-0.5 * dy * dy * dpower_px, axis=0, keepdims=True)
-            d_x = jnp.sum((ca * dx + cb * dy) * dpower_px, axis=0,
-                          keepdims=True)
-            d_y = jnp.sum((cc * dy + cb * dx) * dpower_px, axis=0,
-                          keepdims=True)
-            d_r = jnp.sum(w * g_r, axis=0, keepdims=True)
-            d_g = jnp.sum(w * g_g, axis=0, keepdims=True)
-            d_b2 = jnp.sum(w * g_b, axis=0, keepdims=True)
-            d_z = jnp.sum(w * g_d, axis=0, keepdims=True)
-            zero = jnp.zeros_like(d_x)
-            grads = jnp.concatenate(
-                [d_x, d_y, d_a, d_b, d_c, d_op, d_r, d_g, d_b2, d_z,
-                 zero, zero, zero, zero, zero, zero], axis=0)
+            if _REDUCE == "mxu":
+                # The 10 cross-sublane reductions collapse to two
+                # [256,8]ᵀ×[256,CH] MXU matmuls (constant lhs per tile):
+                #  - pixel moments of dpower (local coords) → d_a..d_y, and
+                #    d_op = A0/op since dpower = op·exp_power·dalpha
+                #    (op ≥ 1/255 on any lane with a kept pixel; A0 == 0 on
+                #    the rest).
+                #  - cotangent-weighted sums of w → d_r, d_g, d_b2, d_z.
+                op = cur[5:6, :]
+                mom = jax.lax.dot_general(
+                    mom_lhsT, dpower_px, (((1,), (0,)), ((), ())),
+                    precision=_HI, preferred_element_type=jnp.float32,
+                )                                           # [8, CH]
+                cg = jax.lax.dot_general(
+                    cot_lhsT, w, (((1,), (0,)), ((), ())),
+                    precision=_HI, preferred_element_type=jnp.float32,
+                )                                           # [8, CH]
+                A0 = mom[0:1, :]
+                Axm = mom[1:2, :]
+                Aym = mom[2:3, :]
+                Axx = mom[3:4, :]
+                Axy = mom[4:5, :]
+                Ayy = mom[5:6, :]
+                x_t = cur[0:1, :] - oxs                 # tile-local mean x
+                y_t = cur[1:2, :] - oys
+                Bx = Axm - x_t * A0                     # = Σ_p dx·dpower
+                By = Aym - y_t * A0
+                d_x = ca * Bx + cb * By
+                d_y = cc * By + cb * Bx
+                d_a = -0.5 * ((Axx - x_t * Axm) - x_t * Bx)
+                d_c = -0.5 * ((Ayy - y_t * Aym) - y_t * By)
+                d_b = -((Axy - x_t * Aym) - y_t * Bx)
+                d_op = A0 / jnp.maximum(op, 1e-6)
+                zero6 = jnp.zeros((6, dpower_px.shape[1]), jnp.float32)
+                grads = jnp.concatenate(
+                    [d_x, d_y, d_a, d_b, d_c, d_op, cg[0:4, :], zero6],
+                    axis=0)
+            else:
+                d_op = jnp.sum(exp_power * dalpha_px, axis=0, keepdims=True)
+                d_a = jnp.sum(-0.5 * dx * dx * dpower_px, axis=0,
+                              keepdims=True)
+                d_b = jnp.sum(-dx * dy * dpower_px, axis=0, keepdims=True)
+                d_c = jnp.sum(-0.5 * dy * dy * dpower_px, axis=0,
+                              keepdims=True)
+                d_x = jnp.sum((ca * dx + cb * dy) * dpower_px, axis=0,
+                              keepdims=True)
+                d_y = jnp.sum((cc * dy + cb * dx) * dpower_px, axis=0,
+                              keepdims=True)
+                d_r = jnp.sum(w * g_r, axis=0, keepdims=True)
+                d_g = jnp.sum(w * g_g, axis=0, keepdims=True)
+                d_b2 = jnp.sum(w * g_b, axis=0, keepdims=True)
+                d_z = jnp.sum(w * g_d, axis=0, keepdims=True)
+                zero = jnp.zeros_like(d_x)
+                grads = jnp.concatenate(
+                    [d_x, d_y, d_a, d_b, d_c, d_op, d_r, d_g, d_b2, d_z,
+                     zero, zero, zero, zero, zero, zero], axis=0)
 
             # rolling dual-accumulator flush: acc[PAR] covers block CURB,
             # acc[1-PAR] covers CURB+1. Window starts are monotone
@@ -544,9 +719,12 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
             dbuf[p] = dbuf[p] + jnp.where(lane >= s_lane, rolled, 0.0)
             dbuf[q] = dbuf[q] + jnp.where(lane < s_lane, rolled, 0.0)
 
-            T_new = jnp.min(
-                jnp.where(contrib, t_incl, T_v), axis=1, keepdims=True
-            )
+            if _TMIN == "mxu" and lg is not None:
+                T_new = _t_new_mxu(lg, contrib, keep, T_v)
+            else:
+                T_new = jnp.min(
+                    jnp.where(contrib, t_incl, T_v), axis=1, keepdims=True
+                )
             return c + 1, nslot, T_new, pw[:, -1:]
 
         init = (jnp.int32(0), st[RSLOT],

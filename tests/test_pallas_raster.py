@@ -222,19 +222,32 @@ class TestKernelLogic:
     """Pallas kernels vs the independent NumPy simulation of their spec —
     exact on ANY scene (same association by construction)."""
 
-    def test_forward_matches_sim_saturated(self):
+    def test_forward_matches_sim_saturated(self, monkeypatch):
         w = h = 64
         cam = look_at_camera([0, 0, -4], [0, 0, 0], width=w, height=h)
         p = random_scene(128, seed=5, spread=0.3)
         p["opacities"] = jnp.full((128,), 0.9)   # deep T_STOP saturation
         K = 4096
         feat, starts, stops = _bin_scene(p, cam, w, h, K, (4, 4))
-        out5 = np.asarray(PB.blend_pallas(
-            jnp.asarray(feat), jnp.asarray(starts), jnp.asarray(stops),
-            jnp.asarray([0, 1], np.int32), jnp.zeros(3), 4, 16, K, True))
+
+        def run():
+            return np.asarray(PB.blend_pallas(
+                jnp.asarray(feat), jnp.asarray(starts), jnp.asarray(stops),
+                jnp.asarray([0, 1], np.int32), jnp.zeros(3), 4, 16, K, True))
+
         sim = kernel_sim_forward(feat, starts, stops, 4, 16)
+        # exact-f32 scan path: bit-level agreement with the NumPy sim
+        monkeypatch.setattr(PB, "_SCAN", "matmul")
         np.testing.assert_allclose(
-            out5.transpose(0, 2, 1), sim[:, :, 0:5], atol=1e-5
+            run().transpose(0, 2, 1), sim[:, :, 0:5], atol=1e-5
+        )
+        # production split2 path (hi/lo bf16 scan): documented accuracy
+        # budget under deep saturation — scan error ≤ |Σlog(1−α)|·2⁻¹⁶ with
+        # |Σlg| ≤ −ln(T_STOP) ≈ 9.2 on live pixels, i.e. ~1.4e-4; assert
+        # 5e-4 (well inside the 2e-3 reference-parity bar).
+        monkeypatch.setattr(PB, "_SCAN", "split2")
+        np.testing.assert_allclose(
+            run().transpose(0, 2, 1), sim[:, :, 0:5], atol=5e-4
         )
 
     def test_forward_matches_sim_boundary_straddle(self):
