@@ -109,8 +109,14 @@ def build_workload(height=800, width=800, n_points=60_000, capacity=65_536,
             instance_budget=64 * 1024,
         ).color
 
+    from fourdgs_tpu.utils import losses as _losses
+    # pre-tiled [B, T, 5, 256] GT blocks — the production cache format
+    # (train/loop.py pre-tiles the uint8 device cache the same way)
     gts = jnp.stack([
-        gt_render(jnp.asarray(pts_gt + offsets(i / max(batch, 1))), c)
+        _losses.tile_image(
+            gt_render(jnp.asarray(pts_gt + offsets(i / max(batch, 1))), c),
+            pad_cols=2,
+        )
         for i, c in enumerate(cams)
     ])
     step = make_train_step(cfg, width, height, "fine", active_sh_degree=3)

@@ -71,6 +71,7 @@ def make_train_step(
     tile_mode = cfg.opt.lambda_dssim == 0
     padded = (height % 16 != 0) or (width % 16 != 0)
     n_px = 3 * height * width
+    n_tiles = (-(-height // 16)) * (-(-width // 16))
 
     def loss_fn(params, carrier, state, cams, gts_in):
         def render_one(cam, off):
@@ -86,10 +87,18 @@ def make_train_step(
         # keeping the Pallas custom_vjp out of vmap keeps XLA compile times
         # sane on the remote-compile TPU path.
         B = gts_in.shape[0]
-        if gts_in.dtype == jnp.uint8:
-            # loader/device-cache format: uint8 [B,H,W,C] — normalize and
-            # transpose INSIDE the jitted step so it fuses with the loss
-            # tiling instead of costing a separate host-side dispatch
+        # pre-tiled GT fast path: [B, T, C, 256] channel-major tile blocks
+        # (uint8 C=3 from the pre-tiled device cache, float C=5 prepadded)
+        # — the in-jit image→tile relayout measured ~3.7 ms/step at
+        # 800×800, so callers pre-tile whenever the loss runs tile-space.
+        tiled_in = (
+            tile_mode and gts_in.ndim == 4 and gts_in.shape[1] == n_tiles
+            and gts_in.shape[3] == 256
+        )
+        if not tiled_in and gts_in.dtype == jnp.uint8:
+            # loader format: uint8 [B,H,W,C] — normalize and transpose
+            # INSIDE the jitted step so it fuses with the loss tiling
+            # instead of costing a separate host-side dispatch
             gts_in = gts_in.astype(jnp.float32).transpose(0, 3, 1, 2) / 255.0
         per_cam = [
             render_one(jax.tree.map(lambda x: x[i], cams), carrier[i])
@@ -97,7 +106,7 @@ def make_train_step(
         ]
         colors = jnp.stack([c for c, _ in per_cam])
         aux = jax.tree.map(lambda *xs: jnp.stack(xs), *[a for _, a in per_cam])
-        gts_img = gts_in[:, :3]
+        gts_img = None if tiled_in else gts_in[:, :3]
         if tile_mode:
             # colors is the PACKED channel-major [B, T, 5, 256] block
             # (r, g, b, depth, t_fin); tile the GT 5-wide in the same
@@ -107,9 +116,18 @@ def make_train_step(
             # AND the arrays are dense in HBM (a pixel-major [.., 256, 5]
             # block pads 5 → 128 lanes: 25× physical traffic — measured
             # 1.4 ms/step in this very fusion).
-            gts_cmp = jnp.stack(
-                [losses.tile_image(g, pad_cols=2) for g in gts_img]
-            )
+            if tiled_in:
+                if gts_in.dtype == jnp.uint8:
+                    g = gts_in.astype(jnp.float32) / 255.0  # [B,T,3,256]
+                    gts_cmp = jnp.pad(
+                        g, ((0, 0), (0, 0), (0, 2), (0, 0))
+                    )
+                else:
+                    gts_cmp = gts_in                        # [B,T,5,256]
+            else:
+                gts_cmp = jnp.stack(
+                    [losses.tile_image(g, pad_cols=2) for g in gts_img]
+                )
             m = jnp.array([1.0, 1.0, 1.0, 0.0, 0.0])[:, None]
             if padded:
                 m = m * losses.tile_pixel_mask(height, width)
@@ -388,7 +406,15 @@ def scene_reconstruction(
     if mesh is None and gt_list and not any(callable(g) for g in gt_list):
         if sum(g.nbytes for g in gt_list) <= GT_CACHE_CAP:
             cams_dev = jax.tree.map(lambda *xs: jnp.stack(xs), *cam_arrays)
-            gt_cache = jnp.asarray(np.stack(gt_list))
+            if cfg.opt.lambda_dssim == 0 and gt_list[0].dtype == np.uint8:
+                # pre-tile to channel-major [T, 3, 256] uint8 blocks: the
+                # tile-space loss consumes them directly and the in-jit
+                # image→tile relayout (~3.7 ms/step at 800×800) disappears
+                gt_cache = jnp.asarray(np.stack(
+                    [losses.tile_image_np(g) for g in gt_list]
+                ))
+            else:
+                gt_cache = jnp.asarray(np.stack(gt_list))
 
     pending_idx = draw_batch()
     if prefetcher:
