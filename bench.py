@@ -27,7 +27,7 @@ BASELINE_PX_PER_S = 23_000 * 800 * 800 / 480.0  # ≈ 3.07e7 (reference, 1 GPU)
 
 
 def build_workload(height=800, width=800, n_points=60_000, capacity=65_536,
-                   batch=1, seed=0):
+                   batch=1, seed=0, make_scan=False):
     import jax
     import jax.numpy as jnp
 
@@ -119,7 +119,12 @@ def build_workload(height=800, width=800, n_points=60_000, capacity=65_536,
         )
         for i, c in enumerate(cams)
     ])
-    step = make_train_step(cfg, width, height, "fine", active_sh_degree=3)
+    if make_scan:
+        from fourdgs_tpu.train.loop import make_train_scan
+
+        step = make_train_scan(cfg, width, height, "fine", active_sh_degree=3)
+    else:
+        step = make_train_step(cfg, width, height, "fine", active_sh_degree=3)
     return step, state, adam_state, batch_cams, gts
 
 
@@ -131,30 +136,43 @@ def main():
 
     height = width = 800
     batch = 1
-    warmup, iters = 3, 20
-    step, state, adam_state, batch_cams, gts = build_workload(
-        height=height, width=width, batch=batch
+    # fused 10-step chunks — the production dispatch mode (train/loop.py
+    # scan_steps: chunk lengths are clamped to the host-gate cadences, and
+    # 10 divides the default log/densify intervals). Warmup is a 3-step
+    # chunk so total trained steps (3 + 20) match the r1-r4 bench exactly
+    # (instance demand drifts with training; the budget margin is tight).
+    chunk, warmup, chunks = 10, 3, 2
+    iters = chunk * chunks
+    scan, state, adam_state, batch_cams, gts = build_workload(
+        height=height, width=width, batch=batch, make_scan=True
     )
     params = state.params
+    import jax.numpy as jnp
+    idx = jnp.zeros((chunk, batch), jnp.int32)  # one cached camera/GT pair
+    idx_w = jnp.zeros((warmup, batch), jnp.int32)
 
     # warmup (compile + budget caches)
-    for i in range(warmup):
-        params, adam_state, state, metrics = step(
-            params, adam_state, state, batch_cams, gts, i + 1
-        )
-    _ = float(metrics["loss"])  # true host sync (block_until_ready can be
-    # a no-op on remote-attached backends)
+    params, adam_state, state, metrics = scan(
+        params, adam_state, state, batch_cams, gts, idx_w, 1
+    )
+    # compile the measured chunk length too (outside the timed region)
+    _p, _a, _s, _m = scan(
+        params, adam_state, state, batch_cams, gts, idx, warmup + 1
+    )
+    _ = float(metrics["loss"][-1])  # true host sync (block_until_ready can
+    # be a no-op on remote-attached backends)
 
     t0 = time.time()
-    for i in range(iters):
-        params, adam_state, state, metrics = step(
-            params, adam_state, state, batch_cams, gts, warmup + i + 1
+    for i in range(chunks):
+        params, adam_state, state, metrics = scan(
+            params, adam_state, state, batch_cams, gts, idx,
+            warmup + 1 + i * chunk,
         )
-    final_loss = float(metrics["loss"])  # host sync
+    final_loss = float(metrics["loss"][-1])  # host sync
     dt = time.time() - t0
 
     px_per_s = height * width * batch * iters / dt
-    demand = int(metrics["num_rendered"])
+    demand = int(metrics["num_rendered"].max())
     assert demand <= 384 * 1024, (
         f"budget overflow would distort the bench: {demand}"
     )

@@ -165,6 +165,11 @@ class TpuParams:
     # scatter) shrinks to true post-cull demand. Cost: a fused 32-cell mask
     # pass over [P] + a 5-step bit-select per slot.
     ellipse_tile_cull: bool = False
+    # Fused multi-step dispatch: the single-device training loop runs up to
+    # this many train steps as ONE jitted lax.scan program (chunks clamped
+    # to the log/densify/SH gate cadences). Amortizes the ~2-3 ms per-call
+    # host dispatch latency of the remote-attached TPU. 1 disables.
+    scan_steps: int = 10
     # Mesh axes for multi-chip training: cameras over 'data', primitive/tile
     # work over 'model' (SURVEY.md §2.7).
     mesh_data: int = 1

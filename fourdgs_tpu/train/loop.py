@@ -159,8 +159,7 @@ def make_train_step(
             )
         return loss, (l1, psnr, aux)
 
-    @jax.jit
-    def train_step(params, adam_state, state: GaussianState, cams, gts, step):
+    def step_core(params, adam_state, state: GaussianState, cams, gts, step):
         B = gts.shape[0]
         P = params["xyz"].shape[0]
         carrier = jnp.zeros((B, P, 2), jnp.float32)
@@ -196,7 +195,60 @@ def make_train_step(
             metrics["vs_grad_norm"] = jnp.linalg.norm(vs_grad, axis=-1)
         return new_params, new_adam, state, metrics
 
+    train_step = jax.jit(step_core)
+    train_step.core = step_core  # undecorated body, for make_train_scan
     return train_step
+
+
+def make_train_scan(
+    cfg: Config, width: int, height: int, stage: str, active_sh_degree: int,
+    spatial_lr_scale: float = 1.0,
+) -> Callable:
+    """Multi-step fused train program: ``lax.scan`` over N train steps.
+
+    On the remote-attached TPU every jitted call pays a ~2-3 ms host
+    dispatch latency that the 30 ms step cannot hide (measured wall-vs-
+    device gap, docs/PERF.md). Scanning N steps inside ONE program
+    amortizes that to ~3/N ms/step. The camera batch is gathered from the
+    device-resident caches *inside* the program (one [N, B] int32 index
+    upload per chunk), so chunks also drop the per-leaf camera-tree
+    dispatches.
+
+    Signature: (params, adam_state, state, cams_all, gt_all, idx, step0)
+    where ``idx`` is int32 [n_steps, B] into the caches and ``step0`` is the
+    1-based iteration number of the chunk's first step. n_steps is a static
+    shape: one compile per distinct chunk length (the training loop clamps
+    chunks to the gate cadences, so only a handful of lengths occur).
+    Returns (params, adam_state, state, metrics) with metrics stacked [n].
+    """
+    step_core = make_train_step(
+        cfg, width, height, stage, active_sh_degree,
+        spatial_lr_scale=spatial_lr_scale,
+    ).core
+
+    @jax.jit
+    def train_scan(params, adam_state, state, cams_all, gt_all, idx, step0):
+        def body(carry, xs):
+            params, adam_state, state = carry
+            i, idx_i = xs
+            gts = jnp.take(gt_all, idx_i, axis=0)
+            cams = jax.tree.map(
+                lambda x: jnp.take(x, idx_i, axis=0), cams_all
+            )
+            new_params, new_adam, new_state, metrics = step_core(
+                params, adam_state, state, cams, gts, step0 + i
+            )
+            new_state = new_state._replace(params=new_params)
+            return (new_params, new_adam, new_state), metrics
+
+        n = idx.shape[0]
+        (params, adam_state, state), ms = jax.lax.scan(
+            body, (params, adam_state, state),
+            (jnp.arange(n, dtype=jnp.int32), idx),
+        )
+        return params, adam_state, state, ms
+
+    return train_scan
 
 
 def make_maintenance(cfg: Config):
@@ -342,6 +394,7 @@ def scene_reconstruction(
 
     densify_fn, prune_fn, reset_fn = make_maintenance(cfg)
     train_steps: dict[int, Callable] = {}
+    train_scans: dict[tuple, Callable] = {}
     budget_growths = 0
 
     stack: list[int] = []
@@ -452,7 +505,40 @@ def scene_reconstruction(
             g = g.astype(np.float32).transpose(2, 0, 1) / 255.0
         return g[:3]
 
-    for iteration in range(1, train_iter + 1):
+    # -- fused multi-step dispatch (cfg.tpu.scan_steps): when the GT lives in
+    # the device cache and nothing host-side needs per-iteration values, run
+    # up to scan_steps iterations as ONE jitted lax.scan program
+    # (make_train_scan) — the remote-attached TPU pays ~2-3 ms dispatch
+    # latency per call, which a 30 ms step cannot hide. Chunks are clamped so
+    # no host gate (logging, SH annealing, densify/prune/reset cadence,
+    # budget check, debug imagery) ever falls strictly inside a chunk.
+    scan_ok = (
+        cfg.tpu.scan_steps > 1 and mesh is None and gt_cache is not None
+        and gradient_tracker is None and viewer is None
+    )
+
+    def _gate_after(j: int) -> bool:
+        """Host work required immediately after step j completes."""
+        due = (
+            j % log_interval == 0 or j in extra_log_iters or j == train_iter
+            or j % opt.densification_interval == 0
+        )
+        if j < opt.densify_until_iter:
+            due = (due or j % opt.pruning_interval == 0
+                   or j % opt.opacity_reset_interval == 0)
+        if debug_mode and j % 100 == 0:
+            due = True
+        if cfg.model.render_process and debug_images_due(j):
+            due = True
+        return due
+
+    def _gate_before(j: int) -> bool:
+        """Host work required immediately before step j runs."""
+        return j % 1000 == 0  # SH annealing (train.py:149-150)
+
+    iteration = 0
+    while iteration < train_iter:
+        iteration += 1
         if viewer is not None:
             def _viewer_render(vcam):
                 color, _ = _aux_render(
@@ -470,8 +556,43 @@ def scene_reconstruction(
             state = G.one_up_sh_degree(state, max_sh)
             sh_deg = min(sh_deg + 1, max_sh)
 
+        # chunk length: longest run of steps with no host gate strictly inside
+        n_chunk = 1
+        if scan_ok:
+            while (n_chunk < cfg.tpu.scan_steps
+                   and iteration + n_chunk <= train_iter
+                   and not _gate_after(iteration + n_chunk - 1)
+                   and not _gate_before(iteration + n_chunk)):
+                n_chunk += 1
+
         batch_idx = pending_idx
-        if gt_cache is not None:
+        if n_chunk > 1:
+            chunk_idx = [batch_idx]
+            for _ in range(n_chunk - 1):
+                chunk_idx.append(draw_batch())
+            pending_idx = draw_batch()
+            if sh_deg not in train_scans:
+                train_scans[sh_deg] = make_train_scan(
+                    cfg, width, height, stage, sh_deg,
+                    spatial_lr_scale=spatial_lr,
+                )
+            if timer:
+                timer.end_timer(f"{stage}_data_loading")
+                timer.start_timer(f"{stage}_render")
+            idx_dev = jnp.asarray(np.asarray(chunk_idx, np.int32))
+            new_params, adam_state, new_state, ms = train_scans[sh_deg](
+                state.params, adam_state, state, cams_dev, gt_cache,
+                idx_dev, iteration,
+            )
+            state = new_state._replace(params=new_params)
+            metrics = {
+                k: (jnp.max(v) if k in ("num_rendered", "max_tile_len")
+                    else v[-1])
+                for k, v in ms.items()
+            }
+            batch_idx = chunk_idx[-1]
+            iteration += n_chunk - 1   # post-step host work sees the last it
+        elif gt_cache is not None:
             idx_dev = jnp.asarray(np.asarray(batch_idx, np.int32))
             gts = jnp.take(gt_cache, idx_dev, axis=0)
             batch_cams = jax.tree.map(
@@ -493,31 +614,33 @@ def scene_reconstruction(
             if prefetcher:
                 prefetcher.submit_batch([gt_list[i] for i in pending_idx])
             gts = jnp.asarray(gts_np)
-        if gts.dtype == jnp.uint8 and mesh is not None:
-            # the sharded trainer expects float CHW; the single-device step
-            # converts uint8 inside the jit instead
-            gts = gts.astype(jnp.float32).transpose(0, 3, 1, 2) / 255.0
-        if timer:
-            timer.end_timer(f"{stage}_data_loading")
-            timer.start_timer(f"{stage}_render")
+        if n_chunk == 1:
+            if gts.dtype == jnp.uint8 and mesh is not None:
+                # the sharded trainer expects float CHW; the single-device
+                # step converts uint8 inside the jit instead
+                gts = gts.astype(jnp.float32).transpose(0, 3, 1, 2) / 255.0
+            if timer:
+                timer.end_timer(f"{stage}_data_loading")
+                timer.start_timer(f"{stage}_render")
 
-        if sh_deg not in train_steps:
+            if sh_deg not in train_steps:
+                if mesh is not None:
+                    train_steps[sh_deg] = ptrainer.make_sharded_train_step(
+                        cfg, mesh, width, height, stage, sh_deg,
+                        spatial_lr_scale=spatial_lr,
+                    )
+                else:
+                    train_steps[sh_deg] = make_train_step(
+                        cfg, width, height, stage, sh_deg,
+                        spatial_lr_scale=spatial_lr,
+                        track_grads=gradient_tracker is not None,
+                    )
             if mesh is not None:
-                train_steps[sh_deg] = ptrainer.make_sharded_train_step(
-                    cfg, mesh, width, height, stage, sh_deg,
-                    spatial_lr_scale=spatial_lr,
-                )
-            else:
-                train_steps[sh_deg] = make_train_step(
-                    cfg, width, height, stage, sh_deg,
-                    spatial_lr_scale=spatial_lr,
-                    track_grads=gradient_tracker is not None,
-                )
-        if mesh is not None:
-            batch_cams, gts = ptrainer.place_batch(mesh, batch_cams, gts)
-        adam_state, state, metrics = _run_step(
-            train_steps[sh_deg], state, adam_state, batch_cams, gts, iteration
-        )
+                batch_cams, gts = ptrainer.place_batch(mesh, batch_cams, gts)
+            adam_state, state, metrics = _run_step(
+                train_steps[sh_deg], state, adam_state, batch_cams, gts,
+                iteration,
+            )
 
         # debug panels every 100 iters (train.py:212-219) + progress frames
         # on the dense early schedule (train.py:325-331)
@@ -568,6 +691,7 @@ def scene_reconstruction(
                     new_budget = -(-new_budget // 65536) * 65536
                     cfg.tpu.instance_budget = new_budget
                     train_steps.clear()
+                    train_scans.clear()
                     budget_growths += 1
                     print(
                         f"[budget] instances {demand} > 70% of {budget}; "
