@@ -124,7 +124,15 @@ def main():
                     help="fast-train ablation mode: isotropic Gaussians + "
                          "simplified RGB (sh_degree=0), the reference's "
                          "Instant4D configuration (README_INSTANT4D.txt)")
+    ap.add_argument("--gt", choices=("pallas", "oracle"), default="pallas",
+                    help="GT renderer: 'pallas' = the production rasterizer "
+                         "(self-consistency proof); 'oracle' = load frames "
+                         "pre-rendered by the independent pure-JAX oracle "
+                         "(scripts/render_oracle_gt.py — breaks the "
+                         "circularity, VERDICT r4 #1)")
     args = ap.parse_args()
+    if args.gt == "oracle" and args.out == "BENCH_QUALITY.json":
+        args.out = "BENCH_QUALITY_ORACLE.json"
 
     import jax
     import jax.numpy as jnp
@@ -201,10 +209,54 @@ def main():
         return cams
 
     t0 = time.time()
-    train_cams = make_split(args.n_train, 0.15, 0.9, seed=1)
-    test_cams = make_split(args.n_test, 0.15, 0.9, seed=2)
+    gt_diff = None
+    if args.gt == "oracle":
+        # frames rendered ONCE by the independent whole-image oracle
+        # (ops/reference.py) on CPU — scripts/render_oracle_gt.py caches
+        # them; camera parameters are reconstructed from the stored
+        # (ang, elev, t) so they are bit-identical to the render pass.
+        import os
+        path = os.path.join(
+            "gt_cache", f"oracle_gt_{size}_{args.n_train}_{args.n_test}.npz"
+        )
+        assert os.path.exists(path), (
+            f"{path} missing — run scripts/render_oracle_gt.py first"
+        )
+        data = np.load(path)
+
+        def load_split(imgs, meta):
+            out = []
+            for img8, (ang, elev, t) in zip(imgs, meta):
+                cam = ring_camera(float(ang), float(elev), size, size,
+                                  float(t))
+                out.append(
+                    (cam, img8.astype(np.float32).transpose(2, 0, 1) / 255.0)
+                )
+            return out
+
+        train_cams = load_split(data["train_imgs"], data["train_meta"])
+        test_cams = load_split(data["test_imgs"], data["test_meta"])
+        # cross-check: production rasterizer vs the oracle frame it never
+        # rendered — recorded as allclose evidence in the JSON
+        cam0, oracle_img = test_cams[0]
+        img, _ = gt_render(
+            jnp.asarray(pts_gt + offsets(cam0.time)),
+            jnp.asarray(cam0.world_view), jnp.asarray(cam0.full_proj),
+            jnp.asarray(cam0.camera_center), cam0.tanfovx, cam0.tanfovy,
+        )
+        d = np.abs(np.asarray(img) - oracle_img)
+        gt_diff = {"max_abs": float(d.max()),
+                   "mean_abs": float(d.mean()),
+                   "note": "pallas render vs oracle uint8 frame "
+                           "(includes the 1/255 quantization floor)"}
+        print(f"oracle GT loaded: {len(train_cams)} train + "
+              f"{len(test_cams)} test; pallas-vs-oracle max|Δ| "
+              f"{gt_diff['max_abs']:.4f}")
+    else:
+        train_cams = make_split(args.n_train, 0.15, 0.9, seed=1)
+        test_cams = make_split(args.n_test, 0.15, 0.9, seed=2)
     gt_time = time.time() - t0
-    print(f"GT rendered: {len(train_cams)} train + {len(test_cams)} test "
+    print(f"GT ready: {len(train_cams)} train + {len(test_cams)} test "
           f"in {gt_time:.1f}s")
 
     # ---- init: the reference's random synthetic init
@@ -259,6 +311,8 @@ def main():
     iters = cfg.opt.coarse_iterations + cfg.opt.iterations
     result = {
         "scene": "synthetic-bouncingballs",
+        "gt_renderer": args.gt,
+        "gt_pallas_vs_oracle": gt_diff,
         "instant4d": bool(args.instant4d),
         "resolution": size,
         "schedule": {"coarse": cfg.opt.coarse_iterations,

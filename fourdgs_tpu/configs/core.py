@@ -179,6 +179,13 @@ class TpuParams:
     # replication is faster below ~5M primitives on 16 GB chips; turn on
     # when replicated params+moments approach a chip's free HBM.
     shard_primitives: bool = False
+    # Shard deformation + preprocess over 'model': each shard computes the
+    # [P/N] slice of the per-Gaussian screen attributes and all-gathers the
+    # packed 16-column payload table (~4 MB at 65k) — the deform+preprocess
+    # compute scales 1/N instead of being replicated per shard (the main
+    # N-independent term of the model-axis efficiency curve, SCALING.md).
+    # Requires capacity % mesh_model == 0.
+    shard_preprocess: bool = True
 
 
 @dataclass

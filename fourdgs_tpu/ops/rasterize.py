@@ -180,6 +180,84 @@ def rasterize_pallas(
     if means2d_offset is not None:
         means2d = means2d + means2d_offset
 
+    table = build_table(pre, opac, means2d, payload_dtype)
+    cull_kw = {}
+    if ellipse_tile_cull:
+        cull_kw = dict(
+            means2d=jax.lax.stop_gradient(means2d),
+            lam_min=pre.lam_min,
+            cull_c=pre.cull_c,
+        )
+    return rasterize_from_table(
+        table, pre.tile_min, pre.tile_max, pre.tiles_touched,
+        jax.lax.stop_gradient(pre.depths), pre.radii, pre.means2d,
+        width, height, bg, instance_budget,
+        interpret=interpret,
+        tile_row_offset=tile_row_offset,
+        tile_rows=tile_rows,
+        tile_row_stride=tile_row_stride,
+        tile_space=tile_space,
+        **cull_kw,
+    )
+
+
+def build_table(pre, opac, means2d, payload_dtype=jnp.float32):
+    """Pack the per-Gaussian screen attributes into the [P, FEAT_ROWS]
+    payload table (rows: x, y, conic a/b/c, opacity, r, g, b, depth, pad).
+
+    This is the boundary the 'model'-sharded preprocess communicates across
+    (parallel.trainer): each shard builds the table for its [P/N] slice and
+    all-gathers it — 16 columns per Gaussian instead of the raw parameter +
+    SH set — so deformation + preprocess compute scales 1/N while binning
+    and blend stay local to the shard's tile rows.
+    """
+    P_n = means2d.shape[0]
+    table = jnp.concatenate(
+        [
+            means2d,
+            pre.conic,
+            opac[:, None],
+            pre.rgb,
+            pre.depths[:, None],
+            jnp.zeros((P_n, PB.FEAT_ROWS - 10), jnp.float32),
+        ],
+        axis=1,
+    )  # [P, FEAT_ROWS]
+    assert table.shape[1] == PB.FEAT_ROWS, (
+        f"payload table width {table.shape[1]} != FEAT_ROWS {PB.FEAT_ROWS} "
+        "(malformed shs/colors input?)"
+    )
+    return table.astype(payload_dtype)  # optional bf16: halves gather+DMA
+
+
+def rasterize_from_table(
+    table: jnp.ndarray,          # [P, FEAT_ROWS] payload (f32 or bf16)
+    tile_min: jnp.ndarray,       # [P, 2] int32
+    tile_max: jnp.ndarray,       # [P, 2] int32
+    tiles_touched: jnp.ndarray,  # [P] int32
+    depths: jnp.ndarray,         # [P] f32 (sort key; non-differentiable)
+    radii: jnp.ndarray,          # [P] int32
+    means2d_out: jnp.ndarray,    # [P, 2] reported means2d (differentiable)
+    width: int,
+    height: int,
+    bg: jnp.ndarray,
+    instance_budget: int,
+    interpret: bool = False,
+    tile_row_offset=0,
+    tile_rows: int | None = None,
+    tile_row_stride: int = 1,
+    tile_space: bool = False,
+    means2d=None,
+    lam_min=None,
+    cull_c=None,
+) -> TiledRasterOut:
+    """Binning + payload gather + Pallas blend from a packed table.
+
+    The second half of :func:`rasterize_pallas`; gradients flow into
+    ``table`` (and ``means2d_out`` passes through for the caller's carrier
+    harvest). Under the sharded trainer the table arrives all-gathered over
+    'model' and everything here is local to the shard's tile rows.
+    """
     grid_x = (width + C.TILE_X - 1) // C.TILE_X
     grid_y = (height + C.TILE_Y - 1) // C.TILE_Y
     CH = PB.CHUNK
@@ -189,9 +267,9 @@ def rasterize_pallas(
     # past the buffer.
     K = -(-instance_budget // CH) * CH
 
-    tile_min = jax.lax.stop_gradient(pre.tile_min)
-    tile_max = jax.lax.stop_gradient(pre.tile_max)
-    tiles_touched = jax.lax.stop_gradient(pre.tiles_touched)
+    tile_min = jax.lax.stop_gradient(tile_min)
+    tile_max = jax.lax.stop_gradient(tile_max)
+    tiles_touched = jax.lax.stop_gradient(tiles_touched)
     if tile_rows is not None:
         # Tile-row-sharded path (the SP/CP analog, SURVEY.md §2.7): this
         # shard owns tile rows {offset + j·stride | j ∈ [0, tile_rows)}.
@@ -226,45 +304,28 @@ def rasterize_pallas(
     T = grid_x * grid_y
 
     cull_kw = {}
-    if ellipse_tile_cull:
+    if means2d is not None and lam_min is not None:
         cull_kw = dict(
             means2d=jax.lax.stop_gradient(means2d),
-            lam_min=pre.lam_min,
-            cull_c=pre.cull_c,
+            lam_min=lam_min,
+            cull_c=cull_c,
             tile_row_offset=tile_row_offset,
             tile_row_stride=tile_row_stride,
         )
     bins = bin_gaussians_fast(
         tile_min, tile_max, tiles_touched,
-        pre.depths,
+        depths,
         grid_x, grid_y, K,
         **cull_kw,
     )
     tile_len = bins.tile_stop - bins.tile_start           # [T]
 
-    # One packed per-Gaussian attribute table [P, 16] → ONE row gather into
-    # the attribute-major compact payload [16, K]. Padding slots carry
+    # ONE row gather from the packed [P, 16] attribute table into the
+    # attribute-major compact payload [16, K]. Padding slots carry
     # Gaussian 0's (finite) row; the kernels' [start, stop) lane gates make
     # them inert in the forward, and the backward's masked RMW accumulation
     # leaves their gradient rows exactly zero, so no per-slot select is
     # needed on either side.
-    P_n = means3d.shape[0]
-    table = jnp.concatenate(
-        [
-            means2d,
-            pre.conic,
-            opac[:, None],
-            pre.rgb,
-            pre.depths[:, None],
-            jnp.zeros((P_n, PB.FEAT_ROWS - 10), jnp.float32),
-        ],
-        axis=1,
-    )  # [P, FEAT_ROWS]
-    assert table.shape[1] == PB.FEAT_ROWS, (
-        f"payload table width {table.shape[1]} != FEAT_ROWS {PB.FEAT_ROWS} "
-        "(malformed shs/colors input?)"
-    )
-    table = table.astype(payload_dtype)  # optional bf16: halves gather+DMA
     feat = _gathered_payload(
         table, bins.gauss_id, bins.slot, bins.seg_starts,
         bins.seg_counts, bins.order,
@@ -290,8 +351,8 @@ def rasterize_pallas(
             color=out5,
             depth=out5[:, 3:4, :],
             alpha=1.0 - out5[:, 4:5, :],
-            radii=pre.radii,
-            means2d=pre.means2d,
+            radii=radii,
+            means2d=means2d_out,
             num_rendered=bins.num_rendered,
             max_tile_len=jnp.max(tile_len).astype(jnp.int32),
         )
@@ -311,8 +372,8 @@ def rasterize_pallas(
         color=untile(col, 3),
         depth=untile(dep, 1),
         alpha=untile(1.0 - t_fin, 1),
-        radii=pre.radii,
-        means2d=pre.means2d,
+        radii=radii,
+        means2d=means2d_out,
         num_rendered=bins.num_rendered,
         max_tile_len=jnp.max(tile_len).astype(jnp.int32),
     )

@@ -237,50 +237,129 @@ def make_sharded_train_step(
         [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
     )
 
-    def render_slab(params, state, cam, carrier, row_offset):
-        xyz = params["xyz"]
-        scaling = params["scaling"]
-        rotation = params["rotation"]
-        opacity = params["opacity"]
-        shs = G.get_features(params)
+    shard_pre = bool(getattr(cfg.tpu, "shard_preprocess", False)) and n_sp > 1
+    if (shard_pre or shard_prim) and cfg.tpu.capacity % n_sp != 0:
+        raise ValueError(
+            f"sharded preprocess/primitives need capacity {cfg.tpu.capacity} "
+            f"divisible by model axis {n_sp}"
+        )
+    payload_dt = jnp.bfloat16 if cfg.tpu.payload_bf16 else jnp.float32
+
+    def _deform_act(params, state, cam, prim):
+        """Deformation + activations on a (possibly sliced) prim set."""
+        xyz, scaling, rotation, opacity, shs = prim
         if stage == "fine":
             t = jnp.broadcast_to(cam.time, (xyz.shape[0],))
-            xyz, scaling, rotation, opacity, shs = deform_lib.deform(
+            xyz_d, scaling, rotation, opacity, shs = deform_lib.deform(
                 params["deform"], cfg.hidden, state.aabb,
                 xyz, scaling, rotation, opacity, shs, t,
             )
-        dxyz_abs = jnp.abs(xyz - params["xyz"])
+        else:
+            xyz_d = xyz
+        dxyz_abs = jnp.abs(xyz_d - xyz)
         scales_act = jnp.exp(scaling)
         if cfg.model.use_isotropic_gaussian:
             scales_act = jnp.repeat(scales_act[:, :1], 3, axis=1)
         rot_act = rotation / jnp.maximum(
             jnp.linalg.norm(rotation, axis=-1, keepdims=True), 1e-12
         )
-        out = rasterize_pallas(
-            xyz, scales_act, rot_act, jax.nn.sigmoid(opacity), shs,
+        return (xyz_d, scales_act, rot_act, jax.nn.sigmoid(opacity), shs,
+                dxyz_abs)
+
+    def render_slab(params, state, cam, carrier, row_offset):
+        prim = (params["xyz"], params["scaling"], params["rotation"],
+                params["opacity"], G.get_features(params))
+        if not shard_pre:
+            (xyz, scales_act, rot_act, opac, shs,
+             dxyz_abs) = _deform_act(params, state, cam, prim)
+            out = rasterize_pallas(
+                xyz, scales_act, rot_act, opac, shs,
+                cam.camera_center, cam.world_view, cam.full_proj,
+                cam.tanfovx, cam.tanfovy, width, height,
+                active_sh_degree, bg,
+                instance_budget=cfg.tpu.instance_budget,
+                means2d_offset=carrier,
+                alive=state.alive,
+                interpret=interpret,
+                tile_row_offset=row_offset,
+                tile_rows=rows_per,
+                tile_row_stride=n_sp,
+                payload_dtype=payload_dt,
+                ellipse_tile_cull=cfg.tpu.ellipse_tile_cull,
+            )
+            return out, dxyz_abs
+
+        # 'model'-SHARDED deformation + preprocess (SURVEY §2.7 / VERDICT r4
+        # #4): each shard deforms + preprocesses only its [P/N] slice of the
+        # primitive set, builds the packed 16-column payload table, and
+        # all-gathers table + rect ints over 'model' (~4.5 MB at 65k — ICI
+        # noise). Binning/blend stay local to the shard's tile rows. The
+        # all_gather's autodiff transpose is the reduce-scatter that routes
+        # every shard's table gradients back to the slice owner, so under
+        # shard_primitives no parameter all-gather is needed at all.
+        from fourdgs_tpu.ops.preprocess import preprocess
+        from fourdgs_tpu.ops.rasterize import build_table, \
+            rasterize_from_table
+
+        if shard_prim:
+            prim_l = prim                       # already the local slice
+            P_l = prim[0].shape[0]
+            i = jax.lax.axis_index("model")
+        else:
+            P_full = prim[0].shape[0]
+            P_l = P_full // n_sp
+            i = jax.lax.axis_index("model")
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * P_l, P_l, 0)
+            prim_l = tuple(sl(x) for x in prim)
+        sl_aux = lambda x: jax.lax.dynamic_slice_in_dim(
+            x, i * P_l, P_l, 0
+        )
+        alive_l = sl_aux(state.alive)
+        carrier_l = sl_aux(carrier)
+        (xyz, scales_act, rot_act, opac_l, shs,
+         dxyz_l) = _deform_act(params, state, cam, prim_l)
+        opac_l = opac_l.reshape(-1)
+        pre = preprocess(
+            xyz, scales_act, rot_act, shs,
             cam.camera_center, cam.world_view, cam.full_proj,
-            cam.tanfovx, cam.tanfovy, width, height,
-            active_sh_degree, bg,
-            instance_budget=cfg.tpu.instance_budget,
-            means2d_offset=carrier,
-            alive=state.alive,
+            cam.tanfovx, cam.tanfovy, width, height, active_sh_degree,
+            alive=alive_l, opacities=opac_l,
+        )
+        means2d_l = pre.means2d + carrier_l
+        table_l = build_table(pre, opac_l, means2d_l, payload_dt)
+        ints_l = jnp.concatenate(
+            [pre.tile_min, pre.tile_max, pre.tiles_touched[:, None],
+             pre.radii[:, None]], axis=1,
+        )                                               # [P/N, 6] int32
+        ag = lambda x: jax.lax.all_gather(x, "model", axis=0, tiled=True)
+        table = ag(table_l)
+        ints = jax.lax.stop_gradient(ag(ints_l))
+        depths = jax.lax.stop_gradient(
+            ag(jax.lax.stop_gradient(pre.depths))
+        )
+        dxyz_abs = jax.lax.stop_gradient(ag(dxyz_l))
+        out = rasterize_from_table(
+            table, ints[:, 0:2], ints[:, 2:4], ints[:, 4],
+            depths, ints[:, 5], table[:, 0:2].astype(jnp.float32),
+            width, height, bg, cfg.tpu.instance_budget,
             interpret=interpret,
             tile_row_offset=row_offset,
             tile_rows=rows_per,
             tile_row_stride=n_sp,
-            payload_dtype=(jnp.bfloat16 if cfg.tpu.payload_bf16
-                           else jnp.float32),
-            ellipse_tile_cull=cfg.tpu.ellipse_tile_cull,
+            tile_space=False,
         )
         return out, dxyz_abs
 
     def local_loss(params, carrier, state, cams, gts):
         """This device's ADDITIVE share of the global loss: psum over
         ('data','model') of this value == the single-device loss."""
-        if shard_prim:
+        if shard_prim and not shard_pre:
             # [P]-sharded mode: gather prim params over 'model' for the
             # render; autodiff's transpose of this gather is the
             # reduce-scatter that hands each shard its gradient slice.
+            # (Under shard_preprocess the gather happens AFTER deformation
+            # + preprocess on the 16-column attribute table instead — no
+            # parameter-sized gather at all.)
             params = {
                 key: (jax.lax.all_gather(val, "model", axis=0, tiled=True)
                       if key in PRIM_KEYS else val)

@@ -62,14 +62,17 @@ def make_train_step(
         [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
     )
 
-    # The L1/PSNR part of the loss runs in TILE space (channel-major
-    # [T, 5, 256] packed blocks, the rasterizer's native output layout): the
-    # GT is tiled once per step outside the gradient, so the tile→image
-    # transpose and its backward re-tile drop out of the hot path
-    # (~3 ms/step at 800×800 on v5e).
-    # SSIM needs spatial layout, so λ_dssim ≠ 0 keeps the image path.
-    tile_mode = cfg.opt.lambda_dssim == 0
+    # The loss runs in TILE space (channel-major [T, 5, 256] packed blocks,
+    # the rasterizer's native output layout): the GT is tiled once per step
+    # outside the gradient, so the tile→image transpose and its backward
+    # re-tile drop out of the hot path (~3 ms/step at 800×800 on v5e).
+    # λ_dssim ≠ 0 stays tile-space too — losses.ssim_tiles evaluates the
+    # 11×11 window on halo-rolled tile blocks (exact vs the image-space
+    # conv) — except when the tile grid is padded (H or W not a multiple
+    # of 16), where the zero-padding pixels would pollute the windows; that
+    # case keeps the image path.
     padded = (height % 16 != 0) or (width % 16 != 0)
+    tile_mode = cfg.opt.lambda_dssim == 0 or not padded
     n_px = 3 * height * width
     n_tiles = (-(-height // 16)) * (-(-width // 16))
 
@@ -154,9 +157,15 @@ def make_train_step(
                 cfg.hidden.l1_time_planes,
             )
         if cfg.opt.lambda_dssim != 0:
-            loss = loss + cfg.opt.lambda_dssim * (
-                1.0 - losses.ssim(colors, gts_img)
-            )
+            if tile_mode:
+                gy = -(-height // 16)
+                gx = -(-width // 16)
+                dssim_term = 1.0 - losses.ssim_tiles(
+                    colors[:, :, 0:3], gts_cmp[:, :, 0:3], gx, gy
+                )
+            else:
+                dssim_term = 1.0 - losses.ssim(colors, gts_img)
+            loss = loss + cfg.opt.lambda_dssim * dssim_term
         return loss, (l1, psnr, aux)
 
     def step_core(params, adam_state, state: GaussianState, cams, gts, step):
@@ -418,6 +427,16 @@ def scene_reconstruction(
         centers = {tuple(np.round(c.camera_center, 5)) for c, _ in cams}
         n_poses = max(len(centers), 1)
         use_fine = len(cams) % n_poses == 0 and n_poses < len(cams)
+        if not use_fine:
+            # The reference's FineSampler is an explicit opt-in
+            # (utils/loader_utils.py:23-52); never decline it silently —
+            # warn when the camera-major inference fails.
+            print(
+                f"[sampler] WARNING: custom_sampler={opt.custom_sampler!r} "
+                f"requested but the camera-major layout could not be "
+                f"inferred ({len(cams)} cameras, {n_poses} distinct "
+                f"centers); falling back to random-stack sampling"
+            )
 
     def draw_batch() -> list[int]:
         nonlocal stack, fine_order
@@ -459,7 +478,9 @@ def scene_reconstruction(
     if mesh is None and gt_list and not any(callable(g) for g in gt_list):
         if sum(g.nbytes for g in gt_list) <= GT_CACHE_CAP:
             cams_dev = jax.tree.map(lambda *xs: jnp.stack(xs), *cam_arrays)
-            if cfg.opt.lambda_dssim == 0 and gt_list[0].dtype == np.uint8:
+            tile_ok = (cfg.opt.lambda_dssim == 0
+                       or (height % 16 == 0 and width % 16 == 0))
+            if tile_ok and gt_list[0].dtype == np.uint8:
                 # pre-tile to channel-major [T, 3, 256] uint8 blocks: the
                 # tile-space loss consumes them directly and the in-jit
                 # image→tile relayout (~3.7 ms/step at 800×800) disappears
@@ -687,7 +708,16 @@ def scene_reconstruction(
                             "drops instances rather than recompiling)"
                         )
                 else:
-                    new_budget = max(budget * 2, int(demand * 1.6))
+                    # chase demand with 1.6× headroom, but never more than
+                    # 4× in one growth: a transient demand spike (e.g. the
+                    # untrained deformation heads inflating scales at
+                    # fine-stage start) must not permanently commit the
+                    # run to a huge-K program — overflow truncation drops
+                    # the deepest instances gracefully until demand
+                    # normalizes or the next growth fires.
+                    new_budget = min(
+                        max(budget * 2, int(demand * 1.6)), budget * 4
+                    )
                     new_budget = -(-new_budget // 65536) * 65536
                     cfg.tpu.instance_budget = new_budget
                     train_steps.clear()
@@ -812,9 +842,28 @@ def scene_reconstruction(
             if log_fn:
                 log_fn(iteration, stage, m, state, adam_state)
             if np.isnan(m["loss"]):
-                # NaN watchdog (train.py:263-265) — surface it, don't re-exec.
+                # NaN watchdog (train.py:263-265) — surface it, don't
+                # re-exec; first dump a replayable snapshot of the
+                # rasterizer inputs (parity with the reference's
+                # snapshot_fw.dump forensics,
+                # diff_gaussian_rasterization/__init__.py:83-90).
+                from fourdgs_tpu.utils import forensics
+
+                snap = forensics.dump_snapshot(
+                    model_path, f"nan_{stage}_{iteration}",
+                    state.params, state=state,
+                    cams=batch_cams if n_chunk == 1 else None,
+                    metrics=m,
+                    extra={
+                        "iteration": iteration,
+                        "instance_budget": cfg.tpu.instance_budget,
+                        "capacity": state.params["xyz"].shape[0],
+                        "batch_idx": np.asarray(batch_idx),
+                    },
+                )
                 raise FloatingPointError(
                     f"loss is NaN at {stage} iteration {iteration}"
+                    + (f"; forensic snapshot: {snap}" if snap else "")
                 )
             if timer:
                 timer.end_timer(f"{stage}_logging")

@@ -157,3 +157,82 @@ def ssim(
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
     )
     return jnp.mean(ssim_map)
+
+
+def ssim_tiles(
+    a: jnp.ndarray, b: jnp.ndarray, grid_x: int, grid_y: int,
+    window_size: int = 11,
+) -> jnp.ndarray:
+    """SSIM equal to :func:`ssim`, computed directly on CHANNEL-MAJOR tile
+    blocks [B?, T, C, 256] (T = grid_y·grid_x row-major 16×16 tiles) — the
+    Pallas rasterizer's native output layout.
+
+    The 11×11 Gaussian window is separable (outer(g, g)), and each tile
+    needs only a 5-pixel halo from its 4 edge neighbors: neighbors are tile
+    rolls (t±1 within a tile row, t±grid_x across rows) with edge masks
+    reproducing the reference conv's zero 'same' padding
+    (utils/loss_utils.py:32-68). Everything stays in the packed block
+    layout — no tile→image transpose enters the train step when
+    λ_dssim ≠ 0 (the transpose + its backward re-tile measured ~3 ms/step
+    at 800×800). Halo contractions are tiny-K matmuls at HIGHEST precision.
+
+    Requires H, W divisible by 16 (no tile-grid padding); callers fall back
+    to the image-space path otherwise.
+    """
+    if a.ndim == 3:
+        a = a[None]
+        b = b[None]
+    B, T, C, npix = a.shape
+    assert T == grid_x * grid_y and npix == 256, (a.shape, grid_x, grid_y)
+    half = window_size // 2
+    g1 = np.array(
+        [math.exp(-((x - half) ** 2) / (2 * 1.5**2))
+         for x in range(window_size)]
+    )
+    g1 = (g1 / g1.sum()).astype(np.float32)
+    # band matrix: out[j] = Σ_k ext[j + k]·g[k], ext = halo-extended axis
+    Wc = np.zeros((16 + 2 * half, 16), np.float32)
+    for j in range(16):
+        for k in range(window_size):
+            Wc[j + k, j] = g1[k]
+    Wc = jnp.asarray(Wc)
+    tcol = jnp.arange(T, dtype=jnp.int32) % grid_x
+    trow = jnp.arange(T, dtype=jnp.int32) // grid_x
+    hi_p = jax.lax.Precision.HIGHEST
+
+    def conv_xy(x):  # [B, T, C, 16, 16] → same, separable 11×11 window
+        lm = (tcol != 0).astype(x.dtype)[None, :, None, None, None]
+        rm = (tcol != grid_x - 1).astype(x.dtype)[None, :, None, None, None]
+        ext = jnp.concatenate(
+            [jnp.roll(x, 1, axis=1)[..., 16 - half:] * lm, x,
+             jnp.roll(x, -1, axis=1)[..., :half] * rm],
+            axis=-1,
+        )                                     # [B,T,C,16,16+2h]
+        x = jnp.einsum("btcrw,wj->btcrj", ext, Wc, precision=hi_p)
+        um = (trow != 0).astype(x.dtype)[None, :, None, None, None]
+        dm = (trow != grid_y - 1).astype(x.dtype)[None, :, None, None, None]
+        ext = jnp.concatenate(
+            [jnp.roll(x, grid_x, axis=1)[..., 16 - half:, :] * um, x,
+             jnp.roll(x, -grid_x, axis=1)[..., :half, :] * dm],
+            axis=-2,
+        )                                     # [B,T,C,16+2h,16]
+        return jnp.einsum("btcrw,rj->btcjw", ext, Wc, precision=hi_p)
+
+    va = a.reshape(B, T, C, 16, 16)
+    vb = b.reshape(B, T, C, 16, 16)
+    # ONE conv pass over the 5 windowed quantities (a, b, a², b², ab)
+    # stacked on the channel axis: 2 halo rolls + 2 band matmuls total
+    # instead of 10/10.
+    stacked = jnp.concatenate([va, vb, va * va, vb * vb, va * vb], axis=2)
+    cs = conv_xy(stacked)
+    mu1 = cs[:, :, 0 * C:1 * C]
+    mu2 = cs[:, :, 1 * C:2 * C]
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = cs[:, :, 2 * C:3 * C] - mu1_sq
+    sigma2_sq = cs[:, :, 3 * C:4 * C] - mu2_sq
+    sigma12 = cs[:, :, 4 * C:5 * C] - mu12
+    C1, C2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu12 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    return jnp.mean(ssim_map)
