@@ -78,6 +78,14 @@ def main():
     cfg.opt.densify_from_iter = int(cfg.opt.densify_from_iter * args.scale)
     cfg.opt.pruning_from_iter = int(cfg.opt.pruning_from_iter * args.scale)
     cfg.opt.position_lr_max_steps = cfg.opt.iterations
+    # DEVIATION from the dynerf preset (documented in the JSON): the preset
+    # disables opacity resets within its schedule (interval 60000), tuned
+    # for real multi-view captures. On this synthetic ring scene the
+    # no-reset schedule falls into the fog minimum (scales inflate while
+    # opacities collapse below 1/255, after which the opacity-aware rect
+    # cull leaves zero instances and training is dead) — keep the global
+    # 3k reset cadence (reference arguments/__init__.py:147 default).
+    cfg.opt.opacity_reset_interval = max(int(3000 * args.scale), 100)
     cfg.opt.custom_sampler = "fine"      # FineSampler (loader_utils.py:23-52)
     cfg.tpu.backend = "pallas"
     cfg.tpu.payload_bf16 = True
@@ -192,6 +200,10 @@ def main():
         "cams_train": N_CAM - 1,
         "timestamps": N_T,
         "holdout": "camera 0 (eval_index=0 convention)",
+        "preset_deviation": "opacity_reset_interval 60000 -> "
+                            f"{cfg.opt.opacity_reset_interval} (synthetic "
+                            "scene falls into the fog minimum without "
+                            "resets; see source comment)",
         "batch_size": cfg.opt.batch_size,
         "fine_sampler": True,
         "schedule": {"coarse": cfg.opt.coarse_iterations,

@@ -103,6 +103,13 @@ _REDUCE = os.environ.get("FOURDGS_BLEND_REDUCE", "vpu").lower()
 # "mxu" = T_v·exp(Σ_contrib lg) via a tiny masked-log matmul (the contrib
 # lanes form a prefix, so the masked log-sum IS the frozen-T semantic).
 _TMIN = os.environ.get("FOURDGS_BLEND_TMIN", "lane").lower()
+# Tiles processed per grid step. The sequential grid carries a fixed
+# per-STEP pipeline cost (~0.35 µs/output block: block bookkeeping +
+# revolving-buffer logistics), which at 2500 tiles is ~1 ms per kernel;
+# batching TPS tiles into one step divides that floor by TPS. The DMA
+# ring, T-stop early exit, and the backward's rolling block flush are
+# per-tile state in SMEM/registers, so the fusion is purely structural.
+TPS = int(os.environ.get("FOURDGS_BLEND_TPS", "2"))
 
 
 def _t_new_mxu(lg, contrib, keep, T_v):
@@ -317,11 +324,12 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
     ``feat_dtype`` may be bfloat16: payload DMA/gather bytes halve; all
     in-kernel math stays float32 (upcast after load)."""
 
+    assert num_tiles % TPS == 0, (num_tiles, TPS)
+    grid_n = num_tiles // TPS
+
     def kernel(starts_ref, stops_ref, row_ref, bg_ref, feat_ref,
                out_ref, buf, sems, slot_ref):
-        t = pl.program_id(0)
-        start = starts_ref[t]
-        stop = stops_ref[t]
+        qstep = pl.program_id(0)
 
         def win_of(v):
             # Clamp so the block-pair DMA [off//CHUNK, off//CHUNK + 2) stays
@@ -338,89 +346,98 @@ def make_forward(grid_x: int, num_tiles: int, k_pad: int,
         # DMA-ring invariant: entering tile t, buf[slot_ref] has one DMA in
         # flight targeting this tile's first window's block pair (for empty
         # tiles start==stop==start_{t+1}, so the invariant carries through).
-        @pl.when(t == 0)
+        @pl.when(qstep == 0)
         def _():
             slot_ref[0] = 0
-            dma(win_of(start), 0).start()
+            dma(win_of(starts_ref[0]), 0).start()
 
-        nxt_first = win_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
-        pxf, pyf = _pixel_coords(t, grid_x, row_ref[0], row_ref[1])
-        off0 = win_of(start)
-        n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
-        tri_x = _tri_excl()
-
-        def cond(carry):
-            c, _, T_v, _ = carry
-            return (c < n_chunks) & (jnp.max(T_v) >= C.T_STOP)
-
-        def body(carry):
-            c, slot, T_v, cols = carry
-            off = off0 + c * CHUNK
-            nslot = 1 - slot
-            # prefetch the next window chunk — or, past the tile boundary,
-            # the next tile's first chunk — while blending this one
-            noff = jnp.where(c + 1 < n_chunks, off + CHUNK, nxt_first)
-            dma(noff, nslot).start()
-            dma(off, slot).wait()
-            cur = _extract_window(buf[slot], off % CHUNK)
-            alpha, _, _, keep, _, _ = _chunk_alpha(
-                cur, pxf, pyf, off, start, stop
+        def do_tile(t, out_slot):
+            start = starts_ref[t]
+            stop = stops_ref[t]
+            nxt_first = win_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
+            pxf, pyf = _pixel_coords(t, grid_x, row_ref[0], row_ref[1])
+            off0 = win_of(start)
+            n_chunks = jnp.where(
+                stop > start, pl.cdiv(stop - off0, CHUNK), 0
             )
-            t_excl, t_incl, _, lg = _transmittance(alpha, T_v, tri_x)
-            contrib = t_incl >= C.T_STOP
-            w = jnp.where(contrib, alpha * t_excl, 0.0)
-            # Σ_i w_i·(r,g,b,z)_i for all 256 pixels: one MXU matmul
-            cols = cols + jax.lax.dot_general(
-                w, cur[6:10, :], (((1,), (1,)), ((), ())),
-                precision=_HI, preferred_element_type=jnp.float32,
-            )
-            if _TMIN == "mxu" and lg is not None:
-                T_new = _t_new_mxu(lg, contrib, keep, T_v)
-            else:
-                # t_incl is monotone non-increasing along lanes; the masked
-                # min is the transmittance after the last contributing
-                # instance
-                T_new = jnp.min(
-                    jnp.where(contrib, t_incl, T_v), axis=1, keepdims=True
+            tri_x = _tri_excl()
+
+            def cond(carry):
+                c, _, T_v, _ = carry
+                return (c < n_chunks) & (jnp.max(T_v) >= C.T_STOP)
+
+            def body(carry):
+                c, slot, T_v, cols = carry
+                off = off0 + c * CHUNK
+                nslot = 1 - slot
+                # prefetch the next window chunk — or, past the tile
+                # boundary, the next tile's first chunk — while blending
+                noff = jnp.where(c + 1 < n_chunks, off + CHUNK, nxt_first)
+                dma(noff, nslot).start()
+                dma(off, slot).wait()
+                cur = _extract_window(buf[slot], off % CHUNK)
+                alpha, _, _, keep, _, _ = _chunk_alpha(
+                    cur, pxf, pyf, off, start, stop
                 )
-            return c + 1, nslot, T_new, cols
+                t_excl, t_incl, _, lg = _transmittance(alpha, T_v, tri_x)
+                contrib = t_incl >= C.T_STOP
+                w = jnp.where(contrib, alpha * t_excl, 0.0)
+                # Σ_i w_i·(r,g,b,z)_i for all 256 pixels: one MXU matmul
+                cols = cols + jax.lax.dot_general(
+                    w, cur[6:10, :], (((1,), (1,)), ((), ())),
+                    precision=_HI, preferred_element_type=jnp.float32,
+                )
+                if _TMIN == "mxu" and lg is not None:
+                    T_new = _t_new_mxu(lg, contrib, keep, T_v)
+                else:
+                    # t_incl is monotone non-increasing along lanes; the
+                    # masked min is the transmittance after the last
+                    # contributing instance
+                    T_new = jnp.min(
+                        jnp.where(contrib, t_incl, T_v), axis=1,
+                        keepdims=True,
+                    )
+                return c + 1, nslot, T_new, cols
 
-        init = (jnp.int32(0), slot_ref[0],
-                jnp.ones((N_PIX, 1), jnp.float32),
-                jnp.zeros((N_PIX, 4), jnp.float32))
-        c_fin, slot, T_fin, cols = jax.lax.while_loop(cond, body, init)
+            init = (jnp.int32(0), slot_ref[0],
+                    jnp.ones((N_PIX, 1), jnp.float32),
+                    jnp.zeros((N_PIX, 4), jnp.float32))
+            c_fin, slot, T_fin, cols = jax.lax.while_loop(cond, body, init)
 
-        # early exit: the in-flight chunk is a within-tile chunk we will
-        # never blend — drain it and restore the invariant for tile t+1
-        @pl.when(c_fin < n_chunks)
-        def _():
-            dma(jnp.int32(0), slot).wait()
-            dma(nxt_first, slot).start()
+            # early exit: the in-flight chunk is a within-tile chunk we
+            # will never blend — drain it, restore the invariant for t+1
+            @pl.when(c_fin < n_chunks)
+            def _():
+                dma(jnp.int32(0), slot).wait()
+                dma(nxt_first, slot).start()
 
-        slot_ref[0] = slot
+            slot_ref[0] = slot
 
-        @pl.when(t == num_tiles - 1)
+            bg_row = jnp.stack(
+                [bg_ref[0], bg_ref[1], bg_ref[2]]
+            ).reshape(1, 3)
+            # CHANNEL-MAJOR packed output [OUT5, 256]: a [256, 5] minor dim
+            # would pad to 128 lanes in HBM (25× physical inflation across
+            # the output buffer, the backward's saved/cotangent reads, and
+            # the whole loss chain — measured ~2.5 ms/step); [5, 256] pads
+            # only 5→8 sublanes. One in-kernel transpose per tile.
+            out_ref[out_slot] = jnp.transpose(jnp.concatenate(
+                [cols[:, 0:3] + T_fin * bg_row, cols[:, 3:4], T_fin], axis=1
+            ))
+
+        for i in range(TPS):
+            do_tile(qstep * TPS + i, i)
+
+        @pl.when(qstep == grid_n - 1)
         def _():
             dma(jnp.int32(0), slot_ref[0]).wait()   # drain the ring
 
-        bg_row = jnp.stack(
-            [bg_ref[0], bg_ref[1], bg_ref[2]]
-        ).reshape(1, 3)
-        # CHANNEL-MAJOR packed output [OUT5, 256]: a [256, 5] minor dim
-        # would pad to 128 lanes in HBM (25× physical inflation across the
-        # output buffer, the backward's saved/cotangent reads, and the
-        # whole loss chain — measured ~2.5 ms/step); [5, 256] pads only
-        # 5→8 sublanes. One in-kernel transpose per tile.
-        out_ref[0] = jnp.transpose(jnp.concatenate(
-            [cols[:, 0:3] + T_fin * bg_row, cols[:, 3:4], T_fin], axis=1
-        ))
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(num_tiles,),
+        grid=(grid_n,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, OUT5, N_PIX), lambda t, *_: (t, 0, 0),
+            (TPS, OUT5, N_PIX), lambda q, *_: (q, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -472,13 +489,14 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
     # (acc[PAR] covers CURB, acc[1-PAR] covers CURB+1), write-pending flags
     RSLOT, CURB, PAR, WP0, WP1 = 0, 1, 2, 3, 4
 
+    assert num_tiles % TPS == 0, (num_tiles, TPS)
+    grid_n = num_tiles // TPS
+
     def kernel(starts_ref, stops_ref, row_ref, bg_ref, feat_ref,
                outsv_ref, gout_ref,
                dzero_ref, dfeat_ref, buf, dbuf, rsems, wsems, st):
         del dzero_ref  # aliased with dfeat_ref; only the output ref is used
-        t = pl.program_id(0)
-        start = starts_ref[t]
-        stop = stops_ref[t]
+        qstep = pl.program_id(0)
 
         def win_of(v):
             # Same OOB clamp as make_forward: keep the prefetch block pair
@@ -515,231 +533,240 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
                 wdma(q, block).start()
                 st[WP0 + q] = 1
 
-        @pl.when(t == 0)
+        @pl.when(qstep == 0)
         def _():
             st[RSLOT] = 0
-            st[CURB] = win_of(start) // CHUNK
+            st[CURB] = win_of(starts_ref[0]) // CHUNK
             st[PAR] = 0
             st[WP0] = 0
             st[WP1] = 0
             dbuf[0] = jnp.zeros((FEAT_ROWS, CHUNK), jnp.float32)
             dbuf[1] = jnp.zeros((FEAT_ROWS, CHUNK), jnp.float32)
-            dma(win_of(start), 0).start()
+            dma(win_of(starts_ref[0]), 0).start()
 
-        nxt_first = win_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
-        pxf, pyf = _pixel_coords(t, grid_x, row_ref[0], row_ref[1])
-        off0 = win_of(start)
-        n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
-        tri_x = _tri_excl()
+        # wrapped below per sub-tile — the body from here runs TPS times
+        # per grid step with t = q·TPS + i and block row i of the saved
+        # outputs / cotangents.
+        def do_tile(t, io_slot):
+         start = starts_ref[t]
+         stop = stops_ref[t]
+         nxt_first = win_of(starts_ref[jnp.minimum(t + 1, num_tiles - 1)])
+         pxf, pyf = _pixel_coords(t, grid_x, row_ref[0], row_ref[1])
+         off0 = win_of(start)
+         n_chunks = jnp.where(stop > start, pl.cdiv(stop - off0, CHUNK), 0)
+         tri_x = _tri_excl()
 
-        # Tile-origin offsets for the LOCAL-coordinate moment basis (local
-        # coords keep the moment recombination cancellation-free:
-        # |dx| ≥ |x̃| − TILE_X, so never a small difference of large terms).
-        oxs = ((t % grid_x) * C.TILE_X).astype(jnp.float32)   # tile origin
-        oys = (((t // grid_x) * row_ref[1] + row_ref[0])
-               * C.TILE_Y).astype(jnp.float32)
+         # Tile-origin offsets for the LOCAL-coordinate moment basis (local
+         # coords keep the moment recombination cancellation-free:
+         # |dx| ≥ |x̃| − TILE_X, so never a small difference of large terms)
+         oxs = ((t % grid_x) * C.TILE_X).astype(jnp.float32)  # tile origin
+         oys = (((t // grid_x) * row_ref[1] + row_ref[0])
+                * C.TILE_Y).astype(jnp.float32)
 
-        # the saved output / cotangent blocks are channel-major [OUT5, 256];
-        # transpose once to the [256, c] orientation the per-pixel math uses
-        sv = jnp.transpose(outsv_ref[0])    # [256, OUT5]
-        go = jnp.transpose(gout_ref[0])     # [256, OUT5]
-        t_fin = sv[:, 4:5]
-        g_r = go[:, 0:1]
-        g_g = go[:, 1:2]
-        g_b = go[:, 2:3]
-        g_d = go[:, 3:4]
-        # the saved color has the background composited in (C + T_fin·bg):
-        # recover the pre-background totals for the suffix-sum math, and
-        # fold the composite's dT path (dL/dT += Σ_q bg_q·g_q) into g_T
-        g_T = (go[:, 4:5]
-               + bg_ref[0] * g_r + bg_ref[1] * g_g + bg_ref[2] * g_b)
-        # combined total: Σ_q C_tot,q·g_q  [256, 1]
-        ctot_comb = (
-            (sv[:, 0:1] - t_fin * bg_ref[0]) * g_r
-            + (sv[:, 1:2] - t_fin * bg_ref[1]) * g_g
-            + (sv[:, 2:3] - t_fin * bg_ref[2]) * g_b
-            + sv[:, 3:4] * g_d
-        )
-        gT_term = t_fin * g_T
+         # the saved output / cotangent blocks are channel-major [OUT5,256];
+         # transpose once to the [256, c] orientation the per-pixel math uses
+         sv = jnp.transpose(outsv_ref[io_slot])    # [256, OUT5]
+         go = jnp.transpose(gout_ref[io_slot])     # [256, OUT5]
+         t_fin = sv[:, 4:5]
+         g_r = go[:, 0:1]
+         g_g = go[:, 1:2]
+         g_b = go[:, 2:3]
+         g_d = go[:, 3:4]
+         # the saved color has the background composited in (C + T_fin·bg):
+         # recover the pre-background totals for the suffix-sum math, and
+         # fold the composite's dT path (dL/dT += Σ_q bg_q·g_q) into g_T
+         g_T = (go[:, 4:5]
+                + bg_ref[0] * g_r + bg_ref[1] * g_g + bg_ref[2] * g_b)
+         # combined total: Σ_q C_tot,q·g_q  [256, 1]
+         ctot_comb = (
+             (sv[:, 0:1] - t_fin * bg_ref[0]) * g_r
+             + (sv[:, 1:2] - t_fin * bg_ref[1]) * g_g
+             + (sv[:, 2:3] - t_fin * bg_ref[2]) * g_b
+             + sv[:, 3:4] * g_d
+         )
+         gT_term = t_fin * g_T
 
-        # Per-tile constant LANE-MAJOR lhs operands [8, 256] for the two
-        # reduction matmuls that replace the per-chunk cross-sublane sums
-        # (backward.cu:523-554 accumulates the same 10 quantities via
-        # atomicAdd):
-        #   moments Σ_p c_p·dpower[p,l] for c ∈ {1, x, y, x², xy, y²}
-        #   (local pixel coords) recombine into d_a..d_y and d_op = A0/op;
-        #   cotangent rows Σ_p g_q[p]·w[p,l] give d_r..d_z directly.
-        # Lane-major lhs + sublane-contracted rhs is the MXU's native
-        # orientation — no per-chunk relayout.
-        rix = jax.lax.broadcasted_iota(jnp.int32, (8, N_PIX), 0)
-        lix = jax.lax.broadcasted_iota(jnp.int32, (8, N_PIX), 1)
-        lpx = (lix % C.TILE_X).astype(jnp.float32)
-        lpy = (lix // C.TILE_X).astype(jnp.float32)
-        mom_lhsT = (
-            jnp.where(rix == 0, 1.0, 0.0)
-            + jnp.where(rix == 1, lpx, 0.0)
-            + jnp.where(rix == 2, lpy, 0.0)
-            + jnp.where(rix == 3, lpx * lpx, 0.0)
-            + jnp.where(rix == 4, lpx * lpy, 0.0)
-            + jnp.where(rix == 5, lpy * lpy, 0.0)
-        )                                                       # [8, 256]
-        cot_lhsT = jnp.concatenate(
-            [gout_ref[0][0:4, :].astype(jnp.float32),
-             jnp.zeros((4, N_PIX), jnp.float32)], axis=0)       # [8, 256]
+         # Per-tile constant LANE-MAJOR lhs operands [8, 256] for the two
+         # reduction matmuls that replace the per-chunk cross-sublane sums
+         # (backward.cu:523-554 accumulates the same 10 quantities via
+         # atomicAdd):
+         #   moments Σ_p c_p·dpower[p,l] for c ∈ {1, x, y, x², xy, y²}
+         #   (local pixel coords) recombine into d_a..d_y and d_op = A0/op;
+         #   cotangent rows Σ_p g_q[p]·w[p,l] give d_r..d_z directly.
+         # Lane-major lhs + sublane-contracted rhs is the MXU's native
+         # orientation — no per-chunk relayout.
+         rix = jax.lax.broadcasted_iota(jnp.int32, (8, N_PIX), 0)
+         lix = jax.lax.broadcasted_iota(jnp.int32, (8, N_PIX), 1)
+         lpx = (lix % C.TILE_X).astype(jnp.float32)
+         lpy = (lix // C.TILE_X).astype(jnp.float32)
+         mom_lhsT = (
+             jnp.where(rix == 0, 1.0, 0.0)
+             + jnp.where(rix == 1, lpx, 0.0)
+             + jnp.where(rix == 2, lpy, 0.0)
+             + jnp.where(rix == 3, lpx * lpx, 0.0)
+             + jnp.where(rix == 4, lpx * lpy, 0.0)
+             + jnp.where(rix == 5, lpy * lpy, 0.0)
+         )                                                       # [8, 256]
+         cot_lhsT = jnp.concatenate(
+             [gout_ref[0][0:4, :].astype(jnp.float32),
+              jnp.zeros((4, N_PIX), jnp.float32)], axis=0)       # [8, 256]
 
-        def cond(carry):
-            c, _, T_v, _ = carry
-            return (c < n_chunks) & (jnp.max(T_v) >= C.T_STOP)
+         def cond(carry):
+             c, _, T_v, _ = carry
+             return (c < n_chunks) & (jnp.max(T_v) >= C.T_STOP)
 
-        def body(carry):
-            c, slot, T_v, a_comb = carry
-            off = off0 + c * CHUNK
-            nslot = 1 - slot
-            noff = jnp.where(c + 1 < n_chunks, off + CHUNK, nxt_first)
-            dma(noff, nslot).start()
-            dma(off, slot).wait()
-            cur = _extract_window(buf[slot], off % CHUNK)
-            alpha, alpha_raw, exp_power, keep, dx, dy = _chunk_alpha(
-                cur, pxf, pyf, off, start, stop
-            )
-            t_excl, t_incl, one_minus, lg = _transmittance(
-                alpha, T_v, tri_x
-            )
-            contrib = t_incl >= C.T_STOP
-            w = jnp.where(contrib, alpha * t_excl, 0.0)   # [256, CH]
+         def body(carry):
+             c, slot, T_v, a_comb = carry
+             off = off0 + c * CHUNK
+             nslot = 1 - slot
+             noff = jnp.where(c + 1 < n_chunks, off + CHUNK, nxt_first)
+             dma(noff, nslot).start()
+             dma(off, slot).wait()
+             cur = _extract_window(buf[slot], off % CHUNK)
+             alpha, alpha_raw, exp_power, keep, dx, dy = _chunk_alpha(
+                 cur, pxf, pyf, off, start, stop
+             )
+             t_excl, t_incl, one_minus, lg = _transmittance(
+                 alpha, T_v, tri_x
+             )
+             contrib = t_incl >= C.T_STOP
+             w = jnp.where(contrib, alpha * t_excl, 0.0)   # [256, CH]
 
-            r = cur[6:7, :]
-            g = cur[7:8, :]
-            b = cur[8:9, :]
-            z = cur[9:10, :]
-            combo = r * g_r + g * g_g + b * g_b + z * g_d   # [256, CH]
-            s = w * combo
-            if _SCAN == "roll":
-                pw = _prefix_sum_incl_roll(s) + a_comb
-            else:
-                # inclusive prefix = exclusive + own term (reuse tri matmul)
-                pw = _scan_matmul(s, tri_x) + s + a_comb
-            S = ctot_comb - pw            # combined suffix AFTER instance i
+             r = cur[6:7, :]
+             g = cur[7:8, :]
+             b = cur[8:9, :]
+             z = cur[9:10, :]
+             combo = r * g_r + g * g_g + b * g_b + z * g_d   # [256, CH]
+             s = w * combo
+             if _SCAN == "roll":
+                 pw = _prefix_sum_incl_roll(s) + a_comb
+             else:
+                 # inclusive prefix = exclusive + own term (reuse tri matmul)
+                 pw = _scan_matmul(s, tri_x) + s + a_comb
+             S = ctot_comb - pw            # combined suffix AFTER instance i
 
-            inv_om = 1.0 / jnp.maximum(one_minus, 1e-6)
-            dalpha_px = t_excl * combo - inv_om * (S + gT_term)
-            # skipped instances get no gradient (CUDA re-applies skip gates)
-            dalpha_px = jnp.where(contrib & keep, dalpha_px, 0.0)
-            dpower_px = alpha_raw * dalpha_px
-            ca = cur[2:3, :]
-            cb = cur[3:4, :]
-            cc = cur[4:5, :]
-            if _REDUCE == "mxu":
-                # The 10 cross-sublane reductions collapse to two
-                # [256,8]ᵀ×[256,CH] MXU matmuls (constant lhs per tile):
-                #  - pixel moments of dpower (local coords) → d_a..d_y, and
-                #    d_op = A0/op since dpower = op·exp_power·dalpha
-                #    (op ≥ 1/255 on any lane with a kept pixel; A0 == 0 on
-                #    the rest).
-                #  - cotangent-weighted sums of w → d_r, d_g, d_b2, d_z.
-                op = cur[5:6, :]
-                mom = jax.lax.dot_general(
-                    mom_lhsT, dpower_px, (((1,), (0,)), ((), ())),
-                    precision=_HI, preferred_element_type=jnp.float32,
-                )                                           # [8, CH]
-                cg = jax.lax.dot_general(
-                    cot_lhsT, w, (((1,), (0,)), ((), ())),
-                    precision=_HI, preferred_element_type=jnp.float32,
-                )                                           # [8, CH]
-                A0 = mom[0:1, :]
-                Axm = mom[1:2, :]
-                Aym = mom[2:3, :]
-                Axx = mom[3:4, :]
-                Axy = mom[4:5, :]
-                Ayy = mom[5:6, :]
-                x_t = cur[0:1, :] - oxs                 # tile-local mean x
-                y_t = cur[1:2, :] - oys
-                Bx = Axm - x_t * A0                     # = Σ_p dx·dpower
-                By = Aym - y_t * A0
-                d_x = ca * Bx + cb * By
-                d_y = cc * By + cb * Bx
-                d_a = -0.5 * ((Axx - x_t * Axm) - x_t * Bx)
-                d_c = -0.5 * ((Ayy - y_t * Aym) - y_t * By)
-                d_b = -((Axy - x_t * Aym) - y_t * Bx)
-                d_op = A0 / jnp.maximum(op, 1e-6)
-                zero6 = jnp.zeros((6, dpower_px.shape[1]), jnp.float32)
-                grads = jnp.concatenate(
-                    [d_x, d_y, d_a, d_b, d_c, d_op, cg[0:4, :], zero6],
-                    axis=0)
-            else:
-                d_op = jnp.sum(exp_power * dalpha_px, axis=0, keepdims=True)
-                d_a = jnp.sum(-0.5 * dx * dx * dpower_px, axis=0,
-                              keepdims=True)
-                d_b = jnp.sum(-dx * dy * dpower_px, axis=0, keepdims=True)
-                d_c = jnp.sum(-0.5 * dy * dy * dpower_px, axis=0,
-                              keepdims=True)
-                d_x = jnp.sum((ca * dx + cb * dy) * dpower_px, axis=0,
-                              keepdims=True)
-                d_y = jnp.sum((cc * dy + cb * dx) * dpower_px, axis=0,
-                              keepdims=True)
-                d_r = jnp.sum(w * g_r, axis=0, keepdims=True)
-                d_g = jnp.sum(w * g_g, axis=0, keepdims=True)
-                d_b2 = jnp.sum(w * g_b, axis=0, keepdims=True)
-                d_z = jnp.sum(w * g_d, axis=0, keepdims=True)
-                zero = jnp.zeros_like(d_x)
-                grads = jnp.concatenate(
-                    [d_x, d_y, d_a, d_b, d_c, d_op, d_r, d_g, d_b2, d_z,
-                     zero, zero, zero, zero, zero, zero], axis=0)
+             inv_om = 1.0 / jnp.maximum(one_minus, 1e-6)
+             dalpha_px = t_excl * combo - inv_om * (S + gT_term)
+             # skipped instances get no gradient (CUDA re-applies skip gates)
+             dalpha_px = jnp.where(contrib & keep, dalpha_px, 0.0)
+             dpower_px = alpha_raw * dalpha_px
+             ca = cur[2:3, :]
+             cb = cur[3:4, :]
+             cc = cur[4:5, :]
+             if _REDUCE == "mxu":
+                 # The 10 cross-sublane reductions collapse to two
+                 # [256,8]ᵀ×[256,CH] MXU matmuls (constant lhs per tile):
+                 #  - pixel moments of dpower (local coords) → d_a..d_y, and
+                 #    d_op = A0/op since dpower = op·exp_power·dalpha
+                 #    (op ≥ 1/255 on any lane with a kept pixel; A0 == 0 on
+                 #    the rest).
+                 #  - cotangent-weighted sums of w → d_r, d_g, d_b2, d_z.
+                 op = cur[5:6, :]
+                 mom = jax.lax.dot_general(
+                     mom_lhsT, dpower_px, (((1,), (0,)), ((), ())),
+                     precision=_HI, preferred_element_type=jnp.float32,
+                 )                                           # [8, CH]
+                 cg = jax.lax.dot_general(
+                     cot_lhsT, w, (((1,), (0,)), ((), ())),
+                     precision=_HI, preferred_element_type=jnp.float32,
+                 )                                           # [8, CH]
+                 A0 = mom[0:1, :]
+                 Axm = mom[1:2, :]
+                 Aym = mom[2:3, :]
+                 Axx = mom[3:4, :]
+                 Axy = mom[4:5, :]
+                 Ayy = mom[5:6, :]
+                 x_t = cur[0:1, :] - oxs                 # tile-local mean x
+                 y_t = cur[1:2, :] - oys
+                 Bx = Axm - x_t * A0                     # = Σ_p dx·dpower
+                 By = Aym - y_t * A0
+                 d_x = ca * Bx + cb * By
+                 d_y = cc * By + cb * Bx
+                 d_a = -0.5 * ((Axx - x_t * Axm) - x_t * Bx)
+                 d_c = -0.5 * ((Ayy - y_t * Aym) - y_t * By)
+                 d_b = -((Axy - x_t * Aym) - y_t * Bx)
+                 d_op = A0 / jnp.maximum(op, 1e-6)
+                 zero6 = jnp.zeros((6, dpower_px.shape[1]), jnp.float32)
+                 grads = jnp.concatenate(
+                     [d_x, d_y, d_a, d_b, d_c, d_op, cg[0:4, :], zero6],
+                     axis=0)
+             else:
+                 d_op = jnp.sum(exp_power * dalpha_px, axis=0, keepdims=True)
+                 d_a = jnp.sum(-0.5 * dx * dx * dpower_px, axis=0,
+                               keepdims=True)
+                 d_b = jnp.sum(-dx * dy * dpower_px, axis=0, keepdims=True)
+                 d_c = jnp.sum(-0.5 * dy * dy * dpower_px, axis=0,
+                               keepdims=True)
+                 d_x = jnp.sum((ca * dx + cb * dy) * dpower_px, axis=0,
+                               keepdims=True)
+                 d_y = jnp.sum((cc * dy + cb * dx) * dpower_px, axis=0,
+                               keepdims=True)
+                 d_r = jnp.sum(w * g_r, axis=0, keepdims=True)
+                 d_g = jnp.sum(w * g_g, axis=0, keepdims=True)
+                 d_b2 = jnp.sum(w * g_b, axis=0, keepdims=True)
+                 d_z = jnp.sum(w * g_d, axis=0, keepdims=True)
+                 zero = jnp.zeros_like(d_x)
+                 grads = jnp.concatenate(
+                     [d_x, d_y, d_a, d_b, d_c, d_op, d_r, d_g, d_b2, d_z,
+                      zero, zero, zero, zero, zero, zero], axis=0)
 
-            # rolling dual-accumulator flush: acc[PAR] covers block CURB,
-            # acc[1-PAR] covers CURB+1. Window starts are monotone
-            # non-decreasing across the sequential grid, so once the window
-            # moves past a block every contribution to it is in — flush it
-            # exactly once. A jump of ≥2 blocks flushes both live blocks;
-            # the skipped blocks received nothing and keep aliased zeros.
-            bp = off // CHUNK
+             # rolling dual-accumulator flush: acc[PAR] covers block CURB,
+             # acc[1-PAR] covers CURB+1. Window starts are monotone
+             # non-decreasing across the sequential grid, so once the window
+             # moves past a block every contribution to it is in — flush it
+             # exactly once. A jump of ≥2 blocks flushes both live blocks;
+             # the skipped blocks received nothing and keep aliased zeros.
+             bp = off // CHUNK
 
-            @pl.when(bp == st[CURB] + 1)
-            def _():
-                flush(st[PAR], st[CURB])
-                st[PAR] = 1 - st[PAR]
-                st[CURB] = bp
+             @pl.when(bp == st[CURB] + 1)
+             def _():
+                 flush(st[PAR], st[CURB])
+                 st[PAR] = 1 - st[PAR]
+                 st[CURB] = bp
 
-            @pl.when(bp > st[CURB] + 1)
-            def _():
-                flush(st[PAR], st[CURB])
-                flush(1 - st[PAR], st[CURB] + 1)
-                st[CURB] = bp
+             @pl.when(bp > st[CURB] + 1)
+             def _():
+                 flush(st[PAR], st[CURB])
+                 flush(1 - st[PAR], st[CURB] + 1)
+                 st[CURB] = bp
 
-            p = st[PAR]
-            q = 1 - p
-            ensure_usable(p)
-            ensure_usable(q)
-            # split the window grads across the two covered blocks:
-            # dest lane d of block bp gets window position d−s (d ≥ s);
-            # dest lane d of block bp+1 gets position d+CHUNK−s (d < s)
-            s_lane = off % CHUNK
-            rolled = pltpu.roll(grads, s_lane, axis=1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 1)
-            dbuf[p] = dbuf[p] + jnp.where(lane >= s_lane, rolled, 0.0)
-            dbuf[q] = dbuf[q] + jnp.where(lane < s_lane, rolled, 0.0)
+             p = st[PAR]
+             q = 1 - p
+             ensure_usable(p)
+             ensure_usable(q)
+             # split the window grads across the two covered blocks:
+             # dest lane d of block bp gets window position d−s (d ≥ s);
+             # dest lane d of block bp+1 gets position d+CHUNK−s (d < s)
+             s_lane = off % CHUNK
+             rolled = pltpu.roll(grads, s_lane, axis=1)
+             lane = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 1)
+             dbuf[p] = dbuf[p] + jnp.where(lane >= s_lane, rolled, 0.0)
+             dbuf[q] = dbuf[q] + jnp.where(lane < s_lane, rolled, 0.0)
 
-            if _TMIN == "mxu" and lg is not None:
-                T_new = _t_new_mxu(lg, contrib, keep, T_v)
-            else:
-                T_new = jnp.min(
-                    jnp.where(contrib, t_incl, T_v), axis=1, keepdims=True
-                )
-            return c + 1, nslot, T_new, pw[:, -1:]
+             if _TMIN == "mxu" and lg is not None:
+                 T_new = _t_new_mxu(lg, contrib, keep, T_v)
+             else:
+                 T_new = jnp.min(
+                     jnp.where(contrib, t_incl, T_v), axis=1, keepdims=True
+                 )
+             return c + 1, nslot, T_new, pw[:, -1:]
 
-        init = (jnp.int32(0), st[RSLOT],
-                jnp.ones((N_PIX, 1), jnp.float32),
-                jnp.zeros((N_PIX, 1), jnp.float32))
-        c_fin, slot, _, _ = jax.lax.while_loop(cond, body, init)
+         init = (jnp.int32(0), st[RSLOT],
+                 jnp.ones((N_PIX, 1), jnp.float32),
+                 jnp.zeros((N_PIX, 1), jnp.float32))
+         c_fin, slot, _, _ = jax.lax.while_loop(cond, body, init)
 
-        @pl.when(c_fin < n_chunks)
-        def _():
-            dma(jnp.int32(0), slot).wait()
-            dma(nxt_first, slot).start()
+         @pl.when(c_fin < n_chunks)
+         def _():
+             dma(jnp.int32(0), slot).wait()
+             dma(nxt_first, slot).start()
 
-        st[RSLOT] = slot
+         st[RSLOT] = slot
 
-        @pl.when(t == num_tiles - 1)
+        for i in range(TPS):
+            do_tile(qstep * TPS + i, i)
+
+        @pl.when(qstep == grid_n - 1)
         def _():
             # flush both live accumulators (stale slots skip: their block
             # keeps the aliased zeros), then drain all DMA
@@ -758,11 +785,11 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 
     nb1 = k_pad // CHUNK + 1
     blk = lambda ch: pl.BlockSpec(
-        (1, ch, N_PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        (TPS, ch, N_PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(num_tiles,),
+        grid=(grid_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # feat (blocked)
             blk(OUT5),                              # saved packed outputs
@@ -801,6 +828,19 @@ def make_backward(grid_x: int, num_tiles: int, k_pad: int,
 # custom_vjp wrapper over (feat, starts, stops) → per-tile output blocks
 
 
+def _pad_ranges(starts, stops, num_tiles):
+    """Pad starts/stops to a TPS multiple with EMPTY trailing tiles
+    (start == stop == stops[-1]): they satisfy the DMA-ring invariant
+    (start_{t+1} == stop_t) and blend nothing. Returns (starts, stops, Tp).
+    """
+    Tp = -(-num_tiles // TPS) * TPS
+    if Tp == num_tiles:
+        return starts, stops, Tp
+    pad = jnp.broadcast_to(stops[-1:], (Tp - num_tiles,))
+    return (jnp.concatenate([starts, pad]),
+            jnp.concatenate([stops, pad]), Tp)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def blend_pallas(feat, starts, stops, row_off, bg, grid_x: int,
                  num_tiles: int, k_pad: int, interpret: bool = False):
@@ -813,29 +853,35 @@ def blend_pallas(feat, starts, stops, row_off, bg, grid_x: int,
     the kernels consume (:func:`to_blocked`); inside a jitted step XLA
     fuses the relayout into the gather producing ``feat``."""
     feat_blk = to_blocked(feat)
-    return make_forward(grid_x, num_tiles, k_pad, interpret, feat.dtype)(
-        starts, stops, row_off, bg, feat_blk
+    s_p, e_p, Tp = _pad_ranges(starts, stops, num_tiles)
+    out = make_forward(grid_x, Tp, k_pad, interpret, feat.dtype)(
+        s_p, e_p, row_off, bg, feat_blk
     )
+    return out[:num_tiles]
 
 
 def _blend_fwd(feat, starts, stops, row_off, bg, grid_x, num_tiles, k_pad,
                interpret=False):
     feat_blk = to_blocked(feat)
-    out = make_forward(grid_x, num_tiles, k_pad, interpret, feat.dtype)(
-        starts, stops, row_off, bg, feat_blk
+    s_p, e_p, Tp = _pad_ranges(starts, stops, num_tiles)
+    out = make_forward(grid_x, Tp, k_pad, interpret, feat.dtype)(
+        s_p, e_p, row_off, bg, feat_blk
     )
-    return out, (feat_blk, starts, stops, row_off, bg, out)
+    return out[:num_tiles], (feat_blk, starts, stops, row_off, bg, out)
 
 
 def _blend_bwd(grid_x, num_tiles, k_pad, interpret, res, g_out):
     import numpy as np
 
     feat_blk, starts, stops, row_off, bg, out = res
+    s_p, e_p, Tp = _pad_ranges(starts, stops, num_tiles)
+    if Tp != num_tiles:
+        g_out = jnp.pad(g_out, ((0, Tp - num_tiles), (0, 0), (0, 0)))
     nb1 = k_pad // CHUNK + 1
     dzero = jnp.zeros((nb1, FEAT_ROWS, CHUNK), jnp.float32)
     dfeat_blk = make_backward(
-        grid_x, num_tiles, k_pad, interpret, feat_blk.dtype
-    )(starts, stops, row_off, bg, feat_blk, out, g_out, dzero)
+        grid_x, Tp, k_pad, interpret, feat_blk.dtype
+    )(s_p, e_p, row_off, bg, feat_blk, out, g_out, dzero)
     # cotangent dtype must match the primal (bf16 payload mode)
     dfeat = from_blocked(dfeat_blk).astype(feat_blk.dtype)
     # integer operands carry symbolic-zero float0 cotangents
