@@ -133,6 +133,11 @@ def main():
     args = ap.parse_args()
     if args.gt == "oracle" and args.out == "BENCH_QUALITY.json":
         args.out = "BENCH_QUALITY_ORACLE.json"
+    # the oracle cache (scripts/render_oracle_gt.py) composites on BLACK;
+    # the bouncingballs preset trains on white (D-NeRF convention). Keep
+    # GT, training renders, and eval consistent on black in oracle mode —
+    # recorded in the JSON.
+    force_black_bg = args.gt == "oracle"
 
     import jax
     import jax.numpy as jnp
@@ -172,6 +177,8 @@ def main():
     # ---- ground truth scene + rendered GT images (oracle rasterizer)
     pts_gt, cols_gt, scales_gt, offsets = make_gt_scene()
     extra = gt_raster_args(pts_gt, cols_gt, scales_gt)
+    if force_black_bg:
+        cfg.model.white_background = False
     bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
 
     # GT instance demand: ~2.2k Gaussians × ≲9 tiles each ≈ 20k instances;
@@ -313,6 +320,9 @@ def main():
         "scene": "synthetic-bouncingballs",
         "gt_renderer": args.gt,
         "gt_pallas_vs_oracle": gt_diff,
+        "background": ("black (oracle cache convention)" if force_black_bg
+                       else ("white" if cfg.model.white_background
+                             else "black")),
         "instant4d": bool(args.instant4d),
         "resolution": size,
         "schedule": {"coarse": cfg.opt.coarse_iterations,

@@ -310,6 +310,37 @@ def main():
         md.append(f"- {p['n_devices']} devices: "
                   f"{'OK — ' + p['line'] if p['ok'] else 'FAIL — ' + p['line']}")
     md.append("")
+
+    # host-axis (≥80% at N≥2 hosts): measured numbers from
+    # scripts/measure_multihost.py if its JSON is present
+    mh_path = os.path.join(os.path.dirname(__file__), "..",
+                           "MULTIHOST.json")
+    if os.path.exists(mh_path):
+        with open(mh_path) as f:
+            mh = json.load(f)
+        md += [
+            "## Host axis (the ≥80%-at-N≥2-hosts target) — MEASURED",
+            "",
+            "Hosts map to the 'data' axis; per-step cross-host traffic is",
+            "ONE parameter-gradient allreduce "
+            f"(~{mh['grad_tree_mb']} MB). Measured over the real",
+            "2-process jax.distributed (gloo) lane"
+            f" (scripts/measure_multihost.py, {mh['host_cpus']}-CPU host):",
+            "",
+            f"- 17 MB grad allreduce, 2-process gloo loopback:"
+            f" **{mh['psum17MB_ms_2p_gloo']} ms**"
+            f" ({mh['gloo_allreduce_gbps']} GB/s effective)",
+            f"- step-shaped program 1p → 2p: {mh['step_ms_1p']} →"
+            f" {mh['step_ms_2p_worst']} ms ({mh['step_note']})",
+            f"- projected host-axis efficiency vs the measured"
+            f" {mh['tpu_step_ms_assumed']} ms TPU step:"
+            f" **{mh['projected_host_axis_efficiency_at_dcn_rate']}** at"
+            f" nominal 25 GB/s DCN"
+            f" ({mh['psum17MB_ms_at_25GBps_dcn']} ms psum), "
+            f" {mh['projected_host_axis_efficiency_at_gloo_rate']} even at"
+            " the gloo-loopback floor rate",
+            "",
+        ]
     md.append("Raw JSON: `SCALING.json`.")
 
     root = os.path.join(os.path.dirname(__file__), "..")
