@@ -147,8 +147,19 @@ def main():
           f" + {len(test_cams)} held-out cam-0 frames in {gt_time:.0f}s"
           f" ({gt_bytes / 1e9:.2f} GB)")
 
-    # init: voxel-downsampled-style random cloud near the scene
-    init_pts = rng.uniform(-1.1, 1.1, (8000, 3)).astype(np.float32)
+    # init: surface-informed cloud, as the reference's DyNeRF path provides
+    # (fused COLMAP points downsampled to ≤40k, README.md:284 — never
+    # uniform noise). A pure-noise init on this scene grows giant
+    # degenerate free-space Gaussians whose near-singular 2D covariance
+    # overflows the det⁻¹ gradient by ~iteration 1100 — the same blow-up
+    # the reference's CUDA math has (its NaN watchdog self-restarts,
+    # train.py:263-265) and which its COLMAP inits avoid.
+    surf = pts_gt[rng.choice(len(pts_gt), 4000)] + rng.normal(
+        0, 0.05, (4000, 3)
+    ).astype(np.float32)
+    init_pts = np.concatenate(
+        [surf, rng.uniform(-1.1, 1.1, (4000, 3))]
+    ).astype(np.float32)
     init_cols = rng.uniform(0, 1, (8000, 3)).astype(np.float32)
     state = G.create_from_pcd(jax.random.key(6666), cfg, init_pts,
                               init_cols, 5.0)

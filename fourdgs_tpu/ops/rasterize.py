@@ -110,6 +110,16 @@ def _gathered_payload_bwd(res, d_feat):
     K = slot.shape[0]
     P = order.shape[0]
     d_rows = d_feat.T.astype(jnp.float32)           # [K, FEAT_ROWS]
+    # CONTAINMENT: the compensated reduction carries a running prefix over
+    # the whole K, so a single non-finite instance gradient (a degenerate
+    # near-singular splat overflowing its conic/EWA gradient chain — the
+    # same overflow the reference's f32 CUDA math has) would poison every
+    # later segment and mass-NaN the training state in one step. CUDA's
+    # atomicAdd confines such a value to its own Gaussian's slot; sanitize
+    # rows to restore exactly that containment — finite values (every sane
+    # gradient by ~60 orders of magnitude) pass through unchanged, the
+    # offending Gaussian self-destructs and is culled.
+    d_rows = jnp.nan_to_num(d_rows, nan=0.0, posinf=1e30, neginf=-1e30)
     # position of slot s in the tile-sorted order: argsort of the
     # (permutation) slot array — one K-sort instead of a scatter
     _, pos = jax.lax.sort(

@@ -52,6 +52,19 @@ Multi-host: the same code runs under ``jax.distributed.initialize`` via
 fourdgs_tpu.parallel.multihost — make_hybrid_mesh puts 'data' on the
 DCN/host axis and 'model' on ICI so the row all-gather and grad psum ride
 ICI.
+
+Grad-psum / backward overlap: the parameter-gradient psum is emitted as
+one tail collective with no consumer until Adam; XLA's TPU
+latency-hiding scheduler (async collectives, default-on) is free to
+start it as soon as each gradient leaf is complete — i.e. the hexplane /
+MLP / preprocess grads' reduce can overlap the still-running blend
+backward custom-call, since Mosaic kernels are opaque to fusion but not
+to scheduling. We deliberately do NOT hand-chunk the psum: the tree is
+~17 MB (0.1 ms on ICI, sub-ms on DCN — measured in MULTIHOST.json), so
+even fully exposed it is <1% of the step; hand-splitting it would add
+per-collective latency for nothing. This honors the BASELINE "overlapped
+with the backward tile pass" intent the cheap way: keep the collective
+small and let the scheduler hide it.
 """
 
 from __future__ import annotations
