@@ -177,6 +177,11 @@ def main():
         cfg.opt.coarse_iterations, cameras_extent=5.0, rng_seed=6666,
         log_interval=500, log_fn=progress,
     )
+    # fresh per-stage instance budget: the coarse stage's pre-reset fog
+    # transient can balloon the grow-only budget (observed 262k → 4.2M);
+    # after the iter-3000 opacity reset demand collapses back to ~300k,
+    # and inheriting the ballooned K would tax every fine K-sized op 4-8×.
+    cfg.tpu.instance_budget = 512 * 1024
     state, adam_state, _ = scene_reconstruction(
         cfg, state, adam_state, train_cams, "fine", cfg.opt.iterations,
         cameras_extent=5.0, rng_seed=6667, log_interval=500,
