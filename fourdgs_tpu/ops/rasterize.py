@@ -117,9 +117,15 @@ def _gathered_payload_bwd(res, d_feat):
     # later segment and mass-NaN the training state in one step. CUDA's
     # atomicAdd confines such a value to its own Gaussian's slot; sanitize
     # rows to restore exactly that containment — finite values (every sane
-    # gradient by ~60 orders of magnitude) pass through unchanged, the
-    # offending Gaussian self-destructs and is culled.
-    d_rows = jnp.nan_to_num(d_rows, nan=0.0, posinf=1e30, neginf=-1e30)
+    # gradient by ~45 orders of magnitude) pass through unchanged, the
+    # offending Gaussian self-destructs and is culled. The clamp must
+    # survive SQUARING (Adam's second moment: (1e15)² = 1e30, finite) —
+    # a 1e30 clamp squared to inf and poisoned the shared deformation-MLP
+    # moments through the fine-stage backward.
+    d_rows = jnp.clip(
+        jnp.nan_to_num(d_rows, nan=0.0, posinf=1e15, neginf=-1e15),
+        -1e15, 1e15,
+    )
     # position of slot s in the tile-sorted order: argsort of the
     # (permutation) slot array — one K-sort instead of a scatter
     _, pos = jax.lax.sort(
