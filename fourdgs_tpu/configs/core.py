@@ -170,6 +170,12 @@ class TpuParams:
     # to the log/densify/SH gate cadences). Amortizes the ~2-3 ms per-call
     # host dispatch latency of the remote-attached TPU. 1 disables.
     scan_steps: int = 10
+    # Sanitize the parameter-gradient tree each step (non-finite -> 0 /
+    # +-1e12): the reference's answer to gradient blow-ups is a NaN
+    # watchdog + process restart (train.py:263-265); ours contains the
+    # blast instead - a diverging Gaussian takes a bounded Adam step and
+    # recovers (or is culled) rather than poisoning shared parameters.
+    sanitize_grads: bool = True
     # Mesh axes for multi-chip training: cameras over 'data', primitive/tile
     # work over 'model' (SURVEY.md §2.7).
     mesh_data: int = 1

@@ -119,12 +119,14 @@ def _gathered_payload_bwd(res, d_feat):
     # rows to restore exactly that containment — finite values (every sane
     # gradient by ~45 orders of magnitude) pass through unchanged, the
     # offending Gaussian self-destructs and is culled. The clamp must
-    # survive SQUARING (Adam's second moment: (1e15)² = 1e30, finite) —
-    # a 1e30 clamp squared to inf and poisoned the shared deformation-MLP
-    # moments through the fine-stage backward.
+    # survive squaring AND summation into shared-parameter gradients
+    # (Adam's second moment squares the deformation-MLP weight grads,
+    # which SUM all P rows: (P·clamp)² must stay finite — at P=65536,
+    # clamp 1e12 sums to 6.5e16, squares to 4e33; a 1e15 clamp overflowed
+    # exactly there in a mass-overflow step).
     d_rows = jnp.clip(
-        jnp.nan_to_num(d_rows, nan=0.0, posinf=1e15, neginf=-1e15),
-        -1e15, 1e15,
+        jnp.nan_to_num(d_rows, nan=0.0, posinf=1e12, neginf=-1e12),
+        -1e12, 1e12,
     )
     # position of slot s in the tile-sorted order: argsort of the
     # (permutation) slot array — one K-sort instead of a scatter

@@ -180,6 +180,17 @@ def make_train_step(
         radii = jnp.max(radii_b, axis=0)                  # train.py:229 max over batch
         vs_grad = jnp.sum(g_carrier, axis=0)              # train.py:266-268 sum over batch
 
+        if cfg.tpu.sanitize_grads:
+            # containment (see ops/rasterize._gathered_payload_bwd): keep a
+            # localized fp blow-up from reaching Adam's squared moments of
+            # SHARED parameters; identity for every finite gradient.
+            g_params = jax.tree.map(
+                lambda g: jnp.clip(
+                    jnp.nan_to_num(g, nan=0.0, posinf=1e12, neginf=-1e12),
+                    -1e12, 1e12,
+                ),
+                g_params,
+            )
         lrs = adam.learning_rates(step, cfg.opt, spatial_lr_scale)
         lr_tree = adam.lr_tree_for_params(params, lrs)
         new_params, new_adam = adam.update(params, g_params, adam_state, lr_tree)
