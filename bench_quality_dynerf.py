@@ -90,6 +90,10 @@ def main():
     cfg.tpu.backend = "pallas"
     cfg.tpu.payload_bf16 = True
     cfg.tpu.instance_budget = 256 * 1024
+    # the fine-start deformation transient demands ~13M instances for a few
+    # hundred steps; cap the budget at 2M and let overflow truncation carry
+    # the transient (deepest instances dropped — graceful LOD)
+    cfg.tpu.instance_budget_max = 2 * 1024 * 1024
     if args.instant4d:
         cfg.model.use_isotropic_gaussian = True
         cfg.model.sh_degree = 0

@@ -147,6 +147,15 @@ class TpuParams:
     capacity_init: int = 0
     # Static tile-pipeline budgets; grown (with recompile) on overflow.
     instance_budget: int = 1 << 21
+    # ABSOLUTE ceiling for budget growth: transient demand spikes (the
+    # untrained deformation heads inflate coarse-trained scales at
+    # fine-stage start — observed 420k → 13M instances in one step) must
+    # not commit the run to a huge-K program; beyond the cap the binning
+    # truncates the deepest instances (graceful LOD) until demand
+    # normalizes. CUDA reallocates per step and shrinks again
+    # (rasterizer_impl.cu:281-286); a grow-only static budget needs this
+    # ceiling instead.
+    instance_budget_max: int = 4 << 20
     tile_budget: int = 4096
     blend_chunk: int = 256
     # Rasterizer backend: "pallas" (production TPU kernels) | "tile"

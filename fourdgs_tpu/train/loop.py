@@ -708,7 +708,7 @@ def scene_reconstruction(
         if iteration % opt.densification_interval == 0:
             demand = int(metrics["num_rendered"])
             budget = cfg.tpu.instance_budget
-            if demand > 0.7 * budget:
+            if demand > 0.7 * budget and budget < cfg.tpu.instance_budget_max:
                 if budget_growths >= _MAX_BUDGET_GROWTHS:
                     if budget_growths == _MAX_BUDGET_GROWTHS:
                         budget_growths += 1
@@ -727,7 +727,8 @@ def scene_reconstruction(
                     # the deepest instances gracefully until demand
                     # normalizes or the next growth fires.
                     new_budget = min(
-                        max(budget * 2, int(demand * 1.6)), budget * 4
+                        max(budget * 2, int(demand * 1.6)), budget * 4,
+                        max(cfg.tpu.instance_budget_max, budget),
                     )
                     new_budget = -(-new_budget // 65536) * 65536
                     cfg.tpu.instance_budget = new_budget
