@@ -94,6 +94,10 @@ def main():
     # hundred steps; cap the budget at 2M and let overflow truncation carry
     # the transient (deepest instances dropped — graceful LOD)
     cfg.tpu.instance_budget_max = 2 * 1024 * 1024
+    # start fine at exactly the canonical model (head deltas = 0): the
+    # Xavier-init transient never decays under heavy truncation (the
+    # shrink gradient is starved when 85% of each tile's list is dropped)
+    cfg.hidden.zero_init_heads = True
     if args.instant4d:
         cfg.model.use_isotropic_gaussian = True
         cfg.model.sh_degree = 0

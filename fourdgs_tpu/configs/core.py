@@ -86,6 +86,13 @@ class ModelHiddenParams:
     grid_pe: int = 0
     static_mlp: bool = False
     apply_rotation: bool = False
+    # Zero-init the FINAL layer of each deformation head: the fine stage
+    # then starts exactly at the coarse canonical model (all deltas 0)
+    # instead of adding Xavier-noise deltas to trained log-scales — the
+    # reference's init (deformation.py:218-223) inflates instance demand
+    # ~30x for hundreds of steps at fine start. Off by default (init
+    # parity); quality benches enable it.
+    zero_init_heads: bool = False
 
 
 @dataclass

@@ -83,6 +83,12 @@ def init_deformation(
             _init_linear(next(keys), W, W),
             _init_linear(next(keys), W, head_out[h]),
         ]
+        if getattr(hidden, "zero_init_heads", False):
+            # deltas start at exactly 0 (see configs.core.zero_init_heads)
+            params[f"head_{h}"][-1] = {
+                "w": jnp.zeros((W, head_out[h]), jnp.float32),
+                "b": jnp.zeros((head_out[h],), jnp.float32),
+            }
     # timenet: structurally present, unused (deformation.py:174-176,199-204).
     times_ch = 2 * hidden.timebase_pe + 1
     params["timenet"] = [
